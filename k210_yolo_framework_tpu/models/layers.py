@@ -1,0 +1,164 @@
+"""Shared conv building blocks (flax.linen).
+
+Semantics cloned from the reference layer configurations:
+
+  * ``DarknetConv2D`` / ``DarknetConv2D_BN_Leaky``
+    (/root/reference/models/yolonet.py:244-260): l2(5e-4) on kernels,
+    'valid' padding with explicit top/left zero-pad when stride 2, BN with
+    keras defaults (momentum .99, eps 1e-3), LeakyReLU alpha=0.1.
+  * MobileNetV1 blocks (/root/reference/models/keras_mobilenet.py:291-436):
+    stride-2 convs use explicit ((1,1),(1,1)) pad + valid (K210 KPU
+    requirement), depthwise ReLU (unbounded) + pointwise LeakyReLU
+    (keras default alpha=0.3).
+  * MobileNetV2 blocks (/root/reference/models/keras_mobilenet_v2.py:426-485):
+    BN momentum .999 eps 1e-3, ReLU6 activations.
+
+TPU notes: convs run in ``dtype`` (bfloat16 by default under training config)
+with f32 params and f32 BN statistics; XLA fuses BN + activation into the
+conv epilogue, so no hand-fused kernel is needed for the dense convs — the
+MXU-bound convs dominate.  Weight layout is HWIO (XLA native).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "ConvBN",
+    "DarknetConvBN",
+    "darknet_head_conv",
+    "leaky_relu",
+    "relu6",
+    "upsample2x",
+]
+
+# Marker prefix for conv kernels carrying the reference's l2(5e-4)
+# regularizer (yolonet.py:247); training.loss.l2_penalty scans for it.
+DARKNET_CONV_PREFIX = "dark_conv"
+
+
+def leaky_relu(alpha: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    return lambda x: nn.leaky_relu(x, negative_slope=alpha)
+
+
+def relu6(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.minimum(nn.relu(x), 6.0)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample == keras ``UpSampling2D(2)``
+    (yolonet.py:33)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def _pad_for(strides: Tuple[int, int], explicit: Optional[Tuple] = None):
+    if explicit is not None:
+        return explicit
+    return "SAME" if strides == (1, 1) else "VALID"
+
+
+class ConvBN(nn.Module):
+    """Conv (+ optional depthwise) -> BN -> activation.
+
+    ``explicit_pad``: ((top, bottom), (left, right)) zero-padding applied
+    before a VALID conv — how the reference expresses every stride-2 conv.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    explicit_pad: Optional[Tuple] = None
+    act: Optional[Callable] = None
+    depthwise: bool = False
+    use_bias: bool = False
+    bn: bool = True
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = _pad_for(self.strides, self.explicit_pad)
+        if self.explicit_pad is not None:
+            x = jnp.pad(x, ((0, 0),) + tuple(self.explicit_pad) + ((0, 0),))
+            pad = "VALID"
+        if self.depthwise:
+            x = nn.Conv(
+                features=x.shape[-1],
+                kernel_size=self.kernel,
+                strides=self.strides,
+                padding=pad,
+                feature_group_count=x.shape[-1],
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=self.kernel,
+                strides=self.strides,
+                padding=pad,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DarknetConvBN(nn.Module):
+    """``DarknetConv2D_BN_Leaky`` (yolonet.py:253-260): no bias, BN, leaky 0.1.
+
+    Stride-2 variant pads top/left only (yolonet.py:197, 248).
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        explicit = ((1, 0), (1, 0)) if self.strides == (2, 2) else None
+        return ConvBN(
+            features=self.features,
+            kernel=self.kernel,
+            strides=self.strides,
+            explicit_pad=explicit,
+            act=leaky_relu(0.1),
+            dtype=self.dtype,
+            name=f"{DARKNET_CONV_PREFIX}_bn",
+        )(x, train)
+
+
+class darknet_head_conv(nn.Module):
+    """Final 1x1 ``DarknetConv2D`` with bias, no BN/act (yolonet.py:29, 244-250)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(1, 1),
+            padding="SAME",
+            use_bias=True,
+            dtype=self.dtype,
+            name=f"{DARKNET_CONV_PREFIX}_out",
+        )(x)

@@ -1,0 +1,142 @@
+"""On-device data augmentation: OneOf{fliplr, rotate, translate}.
+
+Reproduces the reference's imgaug pipeline
+(/root/reference/tools/utils.py:84-88, 309-337) with jax PRNG instead of
+imgaug's global RNG:
+
+    OneOf([ Fliplr(0.5),                      # 50% horizontal mirror
+            Affine(rotate=(-10, 10)),         # uniform degrees
+            Affine(translate_percent=+-0.1) ])# uniform per-axis
+
+One branch is chosen uniformly per image; boxes ride the same affine: the 4
+corners are transformed, re-boxed axis-aligned, then clipped to the image and
+dropped when fully outside (imgaug ``remove_out_of_image().clip_out_of_image()``,
+utils.py:332).
+
+Deliberate fix vs the reference (recorded per SURVEY.md §7): utils.py:336
+re-attaches class ids as ``p[0:n]`` — the FIRST n classes — so dropping a
+middle box mislabels every later box.  Here each box keeps its own class and
+is masked invalid instead of removed (static shapes).
+
+TPU-first: everything is a single inverse-affine bilinear resample, vmapped
+over the batch and jitted; no host work, no per-image Python.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["augment_image_and_boxes", "augment_batch"]
+
+
+def _inverse_affine_sample(img: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-resample ``img`` [H, W, C] through inverse affine ``inv``
+    (3x3, maps output (x, y, 1) -> input (x, y, 1)); zero fill outside."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(inside[..., None], v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _branch_matrices(key: jax.Array, img_hw: Tuple[int, int]):
+    """Forward 3x3 affine (pixel coords) for each OneOf branch + selector."""
+    h, w = img_hw
+    k_branch, k_flip, k_rot, k_tx, k_ty = jax.random.split(key, 5)
+    branch = jax.random.randint(k_branch, (), 0, 3)
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    # Fliplr(0.5): mirror columns with prob 0.5 (utils.py:85).
+    do_flip = jax.random.bernoulli(k_flip, 0.5)
+    flip = jnp.asarray([[-1.0, 0.0, w - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+    m0 = jnp.where(do_flip, flip, eye)
+
+    # Affine(rotate U(-10, 10) deg) about the image center (utils.py:86).
+    theta = jnp.deg2rad(jax.random.uniform(k_rot, (), minval=-10.0, maxval=10.0))
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    m1 = jnp.asarray(
+        [[c, -s, cx - c * cx + s * cy],
+         [s, c, cy - s * cx - c * cy],
+         [0.0, 0.0, 1.0]], jnp.float32)
+
+    # Affine(translate_percent +-0.1 per axis) (utils.py:87).
+    tx = jax.random.uniform(k_tx, (), minval=-0.1, maxval=0.1) * w
+    ty = jax.random.uniform(k_ty, (), minval=-0.1, maxval=0.1) * h
+    m2 = jnp.asarray([[1.0, 0.0, tx], [0.0, 1.0, ty], [0.0, 0.0, 1.0]], jnp.float32)
+
+    mats = jnp.stack([m0, m1, m2])
+    fwd = mats[branch]
+    return fwd
+
+
+def _affine_boxes(boxes: jnp.ndarray, valid: jnp.ndarray, fwd: jnp.ndarray,
+                  img_hw: Tuple[int, int]):
+    """Move [N, 5] (class, x, y, w, h) normalized boxes through ``fwd``;
+    imgaug-style corner transform + axis-aligned rebox + clip + drop."""
+    h, w = img_hw
+    scale = jnp.asarray([w, h], jnp.float32)
+    xy = boxes[:, 1:3] * scale
+    half = boxes[:, 3:5] * scale / 2.0
+    # 4 corners [N, 4, 2]
+    signs = jnp.asarray([[-1, -1], [1, -1], [-1, 1], [1, 1]], jnp.float32)
+    corners = xy[:, None, :] + signs[None] * half[:, None, :]
+    # explicit multiply-add: keeps full f32 (a 3x3 dot would hit the MXU and
+    # round to its default lower matmul precision)
+    cx, cy = corners[..., 0], corners[..., 1]
+    moved = jnp.stack(
+        [fwd[0, 0] * cx + fwd[0, 1] * cy + fwd[0, 2],
+         fwd[1, 0] * cx + fwd[1, 1] * cy + fwd[1, 2]], axis=-1)
+
+    mins = moved.min(axis=1)
+    maxes = moved.max(axis=1)
+    # fully outside -> invalid (remove_out_of_image)
+    inside = (maxes[:, 0] > 0) & (maxes[:, 1] > 0) & (mins[:, 0] < w) & (mins[:, 1] < h)
+    # clip to image (clip_out_of_image)
+    mins = jnp.clip(mins, 0.0, scale)
+    maxes = jnp.clip(maxes, 0.0, scale)
+    new_xy = (mins + maxes) / 2.0 / scale
+    new_wh = (maxes - mins) / scale
+    nonempty = (new_wh[:, 0] > 0) & (new_wh[:, 1] > 0)
+    out = jnp.concatenate([boxes[:, 0:1], new_xy, new_wh], axis=-1)
+    return out, valid & inside & nonempty
+
+
+def augment_image_and_boxes(key: jax.Array, img: jnp.ndarray, boxes: jnp.ndarray,
+                            valid: jnp.ndarray):
+    """Augment one [H, W, C] image + [N, 5] boxes.  Returns (img, boxes, valid)."""
+    fwd = _branch_matrices(key, (img.shape[0], img.shape[1]))
+    inv = jnp.linalg.inv(fwd)
+    img_out = _inverse_affine_sample(img.astype(jnp.float32), inv)
+    boxes_out, valid_out = _affine_boxes(boxes, valid, fwd, (img.shape[0], img.shape[1]))
+    return img_out, boxes_out, valid_out
+
+
+def augment_batch(key: jax.Array, imgs: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray):
+    """Batched augmentation: imgs [B, H, W, C], boxes [B, N, 5], valid [B, N]."""
+    keys = jax.random.split(key, imgs.shape[0])
+    return jax.vmap(augment_image_and_boxes)(keys, imgs, boxes, valid)

@@ -1,0 +1,101 @@
+"""Augmentation: branch semantics, box/image consistency, determinism."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from k210_yolo_framework_tpu.ops import augment as A
+
+
+def _img(h=32, w=48):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(0, 255, (h, w, 3)).astype(np.float32))
+
+
+def test_flip_branch_mirrors_image_and_boxes():
+    img = _img()
+    fwd = jnp.asarray([[-1.0, 0, img.shape[1] - 1.0], [0, 1, 0], [0, 0, 1]])
+    out = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img)[:, ::-1], atol=1e-3)
+
+    boxes = jnp.asarray([[0, 0.25, 0.5, 0.2, 0.4]], jnp.float32)
+    nb, nv = A._affine_boxes(boxes, jnp.asarray([True]), fwd, (32, 48))
+    assert bool(nv[0])
+    # x' = 1 - x up to the (w-1)/w pixel-center offset used by imgaug-style flips
+    assert abs(float(nb[0, 1]) - (1 - 0.25)) < 0.05
+    np.testing.assert_allclose(np.asarray(nb[0, 3:5]), [0.2, 0.4], atol=1e-5)
+
+
+def test_identity_affine_is_noop():
+    img = _img()
+    out = A._inverse_affine_sample(img, jnp.eye(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+
+def test_translate_moves_boxes_out():
+    fwd = jnp.asarray([[1.0, 0, 1000.0], [0, 1, 0], [0, 0, 1]])  # huge shift
+    boxes = jnp.asarray([[3, 0.5, 0.5, 0.2, 0.2]], jnp.float32)
+    _, nv = A._affine_boxes(boxes, jnp.asarray([True]), fwd, (32, 48))
+    assert not bool(nv[0])  # fully outside -> dropped
+
+
+def test_partial_clip_keeps_class_alignment():
+    """Reference bug fixed: dropping box 0 must not relabel box 1
+    (utils.py:336 would assign p[0] to the survivor)."""
+    fwd = jnp.asarray([[1.0, 0, -40.0], [0, 1, 0], [0, 0, 1]])  # shift left 40px of 48
+    boxes = jnp.asarray([[7, 0.1, 0.5, 0.1, 0.2],    # dropped (fully out)
+                         [11, 0.95, 0.5, 0.1, 0.2]], jnp.float32)  # clipped, stays
+    nb, nv = A._affine_boxes(boxes, jnp.asarray([True, True]), fwd, (32, 48))
+    assert not bool(nv[0]) and bool(nv[1])
+    assert int(nb[1, 0]) == 11  # class rides with its own box
+
+
+def test_rotation_preserves_center_box_validity():
+    img = _img(64, 64)
+    boxes = jnp.asarray([[0, 0.5, 0.5, 0.3, 0.3]], jnp.float32)
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        k = jax.random.fold_in(key, i)
+        oi, ob, ov = A.augment_image_and_boxes(k, img, boxes, jnp.asarray([True]))
+        assert oi.shape == img.shape
+        assert bool(ov[0])  # center box survives +-10deg / +-10% / flip
+        # rotation can only grow an axis-aligned box slightly (<= ~1.35x @10deg)
+        assert float(ob[0, 3]) <= 0.45 and float(ob[0, 4]) <= 0.45
+
+
+def test_batched_augment_deterministic():
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, 32, 48, 3)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.3, 0.6, (4, 6, 5)).astype(np.float32))
+    valid = jnp.ones((4, 6), bool)
+    key = jax.random.PRNGKey(42)
+    f = jax.jit(A.augment_batch)
+    o1 = f(key, imgs, boxes, valid)
+    o2 = f(key, imgs, boxes, valid)
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # different key -> different augmentation somewhere in the batch
+    o3 = f(jax.random.PRNGKey(43), imgs, boxes, valid)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o3)))
+
+
+def test_branch_distribution_covers_all_three():
+    """Over many keys each OneOf branch must occur (utils.py:84-88)."""
+    img = jnp.ones((16, 16, 3), jnp.float32)
+    boxes = jnp.zeros((1, 5), jnp.float32)
+    valid = jnp.asarray([False])
+    kinds = set()
+    base = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (16, 16, 3)).astype(np.float32))
+    for i in range(30):
+        k = jax.random.PRNGKey(i)
+        out, _, _ = A.augment_image_and_boxes(k, base, boxes, valid)
+        d = np.asarray(out) - np.asarray(base)
+        if np.allclose(d, 0, atol=1e-3):
+            kinds.add("identity")      # flip branch, coin said no
+        elif np.allclose(np.asarray(out), np.asarray(base)[:, ::-1], atol=1e-3):
+            kinds.add("flip")
+        else:
+            kinds.add("affine")
+    assert {"identity", "flip", "affine"} <= kinds
