@@ -1,0 +1,135 @@
+"""End-to-end inference: uint8 image in -> drawn boxes out.
+
+Replaces /root/reference/keras_inference.py:75-176 (single-image eval) and
+the C region-layer serving path (region_layer.c:378-404), as ONE jitted TPU
+program per input shape: letterbox -> normalize -> conv stack -> decode ->
+per-class NMS.  Unlike the K210 (which decodes on the CPU after the KPU),
+decode+NMS stay on the accelerator.
+
+Also provides the batched fixed-canvas path used for throughput serving and
+``bench.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from k210_yolo_framework_tpu.config import YoloSpec
+from k210_yolo_framework_tpu.models.yolonet import YoloNet
+from k210_yolo_framework_tpu.ops import decode as D
+from k210_yolo_framework_tpu.ops import letterbox as LB
+from k210_yolo_framework_tpu.ops import nms as N
+
+__all__ = ["Detections", "Predictor", "VOC_LABELS"]
+
+# 20-class VOC label table (yolo3_frame_test_public/main.c:140-148).
+VOC_LABELS = [
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+
+class Detections(NamedTuple):
+    boxes: np.ndarray    # [n, 4] yxyx pixels in the ORIGINAL image
+    scores: np.ndarray   # [n]
+    classes: np.ndarray  # [n] int
+
+
+class Predictor:
+    """Holds a built network + weights and serves jitted predictions."""
+
+    def __init__(self, net: YoloNet, variables, spec: YoloSpec,
+                 obj_thresh: float = 0.7, iou_thresh: float = 0.3,
+                 class_softmax: bool = False, max_out: int = 30):
+        self.net = net
+        self.variables = variables
+        self.spec = spec
+        self.obj_thresh = obj_thresh
+        self.iou_thresh = iou_thresh
+        self.class_softmax = class_softmax
+        self.max_out = max_out
+
+    # ---- single image (per-shape compile, like a CLI tool) ---------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _run_single(self, variables, img_u8: jnp.ndarray, img_hw: jnp.ndarray):
+        img = LB.letterbox_image(img_u8, img_hw, self.spec.in_hw)
+        img = LB.normalize_image(img)
+        preds = self.net.apply(variables, img[None])
+        boxes, scores = D.decode_outputs([p[0] for p in preds], self.spec,
+                                         img_hw, self.class_softmax)
+        return N.per_class_nms(boxes, scores, self.obj_thresh, self.iou_thresh,
+                               self.max_out)
+
+    def predict_image(self, img: np.ndarray) -> Detections:
+        """img: [h, w, 3] uint8 original image."""
+        hw = jnp.asarray(img.shape[:2], jnp.int32)
+        res = self._run_single(self.variables, jnp.asarray(img), hw)
+        valid = np.asarray(res.valid)
+        return Detections(
+            boxes=np.asarray(res.boxes)[valid],
+            scores=np.asarray(res.scores)[valid],
+            classes=np.asarray(res.classes)[valid],
+        )
+
+    # ---- batched serving path (fixed canvas, one compile) -----------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _run_batch(self, variables, canvases_u8: jnp.ndarray, img_hws: jnp.ndarray):
+        def one(canvas, hw):
+            img = LB.normalize_image(LB.letterbox_image(canvas, hw, self.spec.in_hw))
+            return img
+
+        imgs = jax.vmap(one)(canvases_u8, img_hws)
+        preds = self.net.apply(variables, imgs)
+
+        def decode_one(pred_list, hw):
+            return D.decode_outputs(pred_list, self.spec, hw, self.class_softmax)
+
+        boxes, scores = jax.vmap(decode_one)(preds, img_hws)
+        return N.batched_nms(boxes, scores, self.obj_thresh, self.iou_thresh,
+                             self.max_out)
+
+    def predict_batch(self, canvases: np.ndarray, img_hws: np.ndarray) -> List[Detections]:
+        res = self._run_batch(self.variables, jnp.asarray(canvases),
+                              jnp.asarray(img_hws, jnp.int32))
+        out = []
+        for b in range(canvases.shape[0]):
+            valid = np.asarray(res.valid[b])
+            out.append(Detections(np.asarray(res.boxes[b])[valid],
+                                  np.asarray(res.scores[b])[valid],
+                                  np.asarray(res.classes[b])[valid]))
+        return out
+
+
+def draw_detections(img: np.ndarray, det: Detections,
+                    labels: Optional[List[str]] = None,
+                    colormap: Optional[List[Tuple[int, int, int]]] = None) -> np.ndarray:
+    """PIL box/label rendering, visual parity with keras_inference.py:137-174."""
+    from PIL import Image, ImageDraw
+
+    from k210_yolo_framework_tpu.utils.colormap import COLORMAP
+
+    colormap = colormap or COLORMAP
+    labels = labels or VOC_LABELS
+    pil = Image.fromarray(img)
+    drawer = ImageDraw.Draw(pil)
+    thickness = (img.shape[0] + img.shape[1]) // 300
+    for box, score, cls in zip(det.boxes, det.scores, det.classes):
+        top, left, bottom, right = box
+        top = max(0, int(np.floor(top + 0.5)))
+        left = max(0, int(np.floor(left + 0.5)))
+        bottom = min(img.shape[0], int(np.floor(bottom + 0.5)))
+        right = min(img.shape[1], int(np.floor(right + 0.5)))
+        color = tuple(colormap[int(cls) % len(colormap)])
+        for j in range(max(thickness, 1)):
+            drawer.rectangle([left + j, top + j, right - j, bottom - j], outline=color)
+        name = labels[int(cls)] if int(cls) < len(labels) else str(int(cls))
+        drawer.text((left, max(top - 12, 0)), f"{name} {score:.2f}", fill=color)
+    return np.asarray(pil)

@@ -1,0 +1,211 @@
+"""The jitted train/eval steps and the epoch loop.
+
+Reference surface being replaced (/root/reference/keras_train.py:73-111):
+Adam with keras ``decay`` semantics (lr_t = lr / (1 + decay * t)), per-output
+5-term loss, streaming P/R metrics in the progress line, TensorBoard-style
+scalar logging, KeyboardInterrupt-tolerant save, optional magnitude pruning.
+
+TPU design: ONE ``jax.jit`` program per step — forward (bf16-capable), loss,
+grads, Adam update, pruning mask maintenance and metric accumulation all
+fused; state is donated so params update in place.  Multi-chip: shard the
+state/batch with ``parallel.mesh`` helpers before calling — gradient psums
+come from GSPMD sharding propagation, not hand-written collectives.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
+from k210_yolo_framework_tpu.models.yolonet import YoloNet
+from k210_yolo_framework_tpu.parallel import mesh as pmesh
+from k210_yolo_framework_tpu.training import loss as L
+from k210_yolo_framework_tpu.training import metrics as M
+from k210_yolo_framework_tpu.training import pruning as P
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step", "fit"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    masks: Any
+    pr: Dict[str, jnp.ndarray]
+
+
+def keras_adam_schedule(init_lr: float, decay: float) -> Callable:
+    """keras ``Adam(lr, decay)``: lr_t = lr / (1 + decay * iterations)
+    (keras_train.py:74-76)."""
+    def schedule(count):
+        return init_lr / (1.0 + decay * count)
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=keras_adam_schedule(
+        cfg.init_learning_rate, cfg.learning_rate_decay_factor))
+
+
+def create_train_state(net: YoloNet, cfg: TrainConfig, rng: jax.Array) -> TrainState:
+    variables = net.init(rng)
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+        masks=P.init_masks(params),
+        pr=M.init_pr_state(),
+    )
+
+
+def make_train_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
+                    train_epoch_step: int):
+    """Build the donated, jitted train step: (state, images, labels) ->
+    (state, logs)."""
+    tx = make_optimizer(cfg)
+    prune_end = max(train_epoch_step * cfg.prune_end_epoch, 1)
+
+    def loss_fn(params, batch_stats, images, labels):
+        outs, updates = net.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=True)
+        main = L.yolo_loss(labels, outs, spec, images.shape[0],
+                           cfg.obj_thresh, cfg.iou_thresh,
+                           cfg.obj_weight, cfg.noobj_weight, cfg.wh_weight)
+        reg = L.l2_penalty(params)
+        return main + reg, (outs, updates["batch_stats"], main)
+
+    def step_fn(state: TrainState, images: jnp.ndarray, labels: Tuple[jnp.ndarray, ...]):
+        (_, (outs, new_stats, main_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, images, labels)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        masks = state.masks
+        if cfg.is_prune:
+            sparsity = P.polynomial_sparsity(
+                state.step.astype(jnp.float32), cfg.prune_initial_sparsity,
+                cfg.prune_final_sparsity, 0, prune_end)
+            due = (state.step % cfg.prune_frequency == 0) & (state.step <= prune_end)
+            masks = jax.lax.cond(
+                due, lambda: P.update_masks(params, state.masks, sparsity),
+                lambda: state.masks)
+            params = P.apply_masks(params, masks)
+
+        pr = M.update_pr_state(state.pr, labels, outs, cfg.obj_thresh)
+        precision, recall = M.pr_results(pr)
+        logs = {"loss": main_loss, "p": precision, "r": recall,
+                "lr": keras_adam_schedule(cfg.init_learning_rate,
+                                          cfg.learning_rate_decay_factor)(state.step)}
+        if cfg.is_prune:
+            logs["sparsity"] = P.sparsity_of(params, masks)
+
+        return TrainState(step=state.step + 1, params=params, batch_stats=new_stats,
+                          opt_state=new_opt, masks=masks, pr=pr), logs
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig):
+    """(params, batch_stats, pr, images, labels) -> (pr, logs); BN frozen."""
+    def step_fn(params, batch_stats, pr, images, labels):
+        outs = net.apply({"params": params, "batch_stats": batch_stats},
+                         images, train=False)
+        loss = L.yolo_loss(labels, outs, spec, images.shape[0],
+                           cfg.obj_thresh, cfg.iou_thresh,
+                           cfg.obj_weight, cfg.noobj_weight, cfg.wh_weight)
+        pr = M.update_pr_state(pr, labels, outs, cfg.obj_thresh)
+        p, r = M.pr_results(pr)
+        return pr, {"val_loss": loss, "val_p": p, "val_r": r}
+
+    return jax.jit(step_fn)
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Place params per mesh rules (DP: replicated; +model axis: channel TP)."""
+    shardings = TrainState(
+        step=pmesh.replicated(mesh),
+        params=pmesh.param_shardings(state.params, mesh),
+        batch_stats=jax.tree.map(lambda _: pmesh.replicated(mesh), state.batch_stats),
+        opt_state=jax.tree.map(lambda _: pmesh.replicated(mesh), state.opt_state),
+        masks=jax.tree.map(lambda _: pmesh.replicated(mesh), state.masks),
+        pr=jax.tree.map(lambda _: pmesh.replicated(mesh), state.pr),
+    )
+    return jax.device_put(state, shardings)
+
+
+def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
+        train_batches: Iterator, test_batches: Optional[Iterator],
+        preprocess_train, preprocess_test,
+        train_epoch_step: int, test_epoch_step: int,
+        rng: jax.Array, mesh=None,
+        log_fn: Callable[[str], None] = print,
+        scalar_logger=None,
+        state: Optional[TrainState] = None) -> TrainState:
+    """Epoch loop with the reference's UX: per-step loss/p/r line, one
+    validation pass per epoch, Ctrl-C saves instead of crashing
+    (keras_train.py:95-100).  Returns the final state (caller saves it).
+    """
+    if state is None:
+        state = create_train_state(net, cfg, rng)
+    if mesh is not None:
+        state = shard_state(state, mesh)
+    train_step = make_train_step(net, spec, cfg, train_epoch_step)
+    eval_step = make_eval_step(net, spec, cfg)
+    data_rng = jax.random.PRNGKey(cfg.rand_seed)
+
+    try:
+        for epoch in range(cfg.max_epochs):
+            state = state.replace(pr=M.init_pr_state())
+            t0 = time.time()
+            logs = {}
+            for i in range(train_epoch_step):
+                hb = next(train_batches)
+                data_rng, k = jax.random.split(data_rng)
+                images, labels = preprocess_train(
+                    jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+                    jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
+                if mesh is not None:
+                    bs = pmesh.batch_sharding(mesh)
+                    images = jax.device_put(images, bs)
+                    labels = tuple(jax.device_put(l, bs) for l in labels)
+                state, logs = train_step(state, images, labels)
+                if scalar_logger is not None:
+                    scalar_logger(int(state.step), {k: float(v) for k, v in logs.items()})
+                if i % 10 == 0 or i == train_epoch_step - 1:
+                    log_fn(f"epoch {epoch + 1}/{cfg.max_epochs} step {i + 1}/{train_epoch_step} "
+                           f"loss {float(logs['loss']):.4f} p {float(logs['p']):.4f} "
+                           f"r {float(logs['r']):.4f}")
+            dt = time.time() - t0
+
+            if test_batches is not None and test_epoch_step > 0:
+                pr = M.init_pr_state()
+                vlogs = {}
+                for _ in range(test_epoch_step):
+                    hb = next(test_batches)
+                    data_rng, k = jax.random.split(data_rng)
+                    images, labels = preprocess_test(
+                        jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+                        jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
+                    pr, vlogs = eval_step(state.params, state.batch_stats, pr, images, labels)
+                log_fn(f"epoch {epoch + 1} done in {dt:.1f}s  "
+                       f"val_loss {float(vlogs['val_loss']):.4f} "
+                       f"val_p {float(vlogs['val_p']):.4f} val_r {float(vlogs['val_r']):.4f}")
+            else:
+                log_fn(f"epoch {epoch + 1} done in {dt:.1f}s loss {float(logs['loss']):.4f}")
+    except KeyboardInterrupt:
+        log_fn("interrupted — saving current weights (keras_train.py:99-100 behavior)")
+
+    return state

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Freeze/export entry — CLI-compatible with the reference's keras_freeze.py
+(same positional ckpt argument; prints input/output node info).  Produces a
+StableHLO serving artifact + .h5 weights instead of .tflite (no TF on this
+image; kmodel/nncase is K210-hardware scope — see export.py docstring)."""
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def main(args):
+    import jax
+
+    from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
+    from k210_yolo_framework_tpu.export import freeze
+    from k210_yolo_framework_tpu.models import build_network
+    from k210_yolo_framework_tpu.training import checkpoint as CK
+    from k210_yolo_framework_tpu.training import train as T
+    from k210_yolo_framework_tpu.utils import NOTE
+
+    spec = YoloSpec.from_files(
+        f"data/{args.train_set}_anchor.npy",
+        in_hw=tuple(args.image_size),
+        out_hws=tuple(args.output_size),
+        class_num=args.class_num)
+    net = build_network(args.model_def, spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=args.depth_multiplier)
+    state = T.create_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if str(args.pre_ckpt).endswith(".h5"):
+        variables = CK.load_h5(args.pre_ckpt, variables)
+    else:
+        restored = CK.restore_state(args.pre_ckpt, jax.device_get(state))
+        variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+
+    out_dir = args.out_dir or str(Path(args.pre_ckpt).parent / "Freeze_save")
+    arts = freeze(net, variables, spec, out_dir)
+    print(NOTE, f"export artifacts: {arts}")
+
+
+def parse_arguments(argv):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("pre_ckpt", type=str, help="checkpoint (.h5 or orbax dir)")
+    parser.add_argument("--train_set", type=str, default="voc")
+    parser.add_argument("--class_num", type=int, default=20)
+    parser.add_argument("--model_def", type=str, default="yolo_mobilev1")
+    parser.add_argument("--depth_multiplier", type=float, default=0.75)
+    parser.add_argument("--image_size", type=int, default=(224, 320), nargs="+")
+    parser.add_argument("--output_size", type=int, default=(7, 10, 14, 20), nargs="+")
+    parser.add_argument("--out_dir", type=str, default=None)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_arguments(sys.argv[1:]))

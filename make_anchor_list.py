@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""kmeans anchor generation — CLI-compatible with the reference's
+make_anchor_list.py (same flags incl. string booleans; same
+``data/{set}_anchor.npy`` output; NaN -> "please rerun" warning,
+make_anchor_list.py:216-220)."""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(args):
+    # kmeans over a few thousand wh pairs is host-scale work: pin the whole
+    # process to the CPU backend so no accelerator handshake is paid.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from k210_yolo_framework_tpu.anchors import generate_anchors
+    from k210_yolo_framework_tpu.data.annotations import load_ann_list
+    from k210_yolo_framework_tpu.utils import ERROR, NOTE
+
+    ann = load_ann_list(f"data/{args.train_set}_img_ann.npy")
+    layers = len(args.out_hw) // 2
+    centroids = generate_anchors(
+        ann, tuple(args.in_hw), layers, args.anchor_num,
+        max_iters=args.max_iters,
+        is_random=(str(args.is_random).lower() == "true"),
+        low=tuple(args.low), high=tuple(args.high))
+
+    if np.any(np.isnan(centroids)):
+        print(ERROR, "Result have NaN value please Rerun!")
+        return 1
+    print(NOTE, f"Now anchors are :\n{centroids}")
+    np.save(f"data/{args.train_set}_anchor.npy", centroids)
+
+    if str(args.is_plot).lower() == "true":
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            flat = centroids.reshape(-1, 2)
+            plt.scatter(flat[:, 0], flat[:, 1], c="r", marker="x")
+            plt.xlabel("w")
+            plt.ylabel("h")
+            plt.savefig(f"data/{args.train_set}_anchor.png")
+            print(NOTE, f"anchor plot saved to data/{args.train_set}_anchor.png")
+        except ImportError:
+            print(NOTE, "matplotlib unavailable; skipping plot")
+    return 0
+
+
+def parse_arguments(argv):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("train_set", type=str)
+    parser.add_argument("--max_iters", type=int, default=10)
+    parser.add_argument("--is_random", type=str, default="True")
+    parser.add_argument("--is_plot", type=str, default="True")
+    parser.add_argument("--in_hw", type=int, default=(224, 320), nargs="+")
+    parser.add_argument("--out_hw", type=int, default=(7, 10, 14, 20), nargs="+")
+    parser.add_argument("--low", type=float, default=(0.0, 0.0), nargs="+")
+    parser.add_argument("--high", type=float, default=(1.0, 1.0), nargs="+")
+    parser.add_argument("--anchor_num", type=int, default=3)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main(parse_arguments(sys.argv[1:])))

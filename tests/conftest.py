@@ -1,11 +1,12 @@
 """Test config: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is first imported anywhere in the test process.
+The host image preloads jax via /root/.axon_site/sitecustomize.py (the axon
+TPU PJRT plugin) before this file runs, so env vars like JAX_PLATFORMS /
+XLA_FLAGS are snapshotted too early to help — use jax.config instead, which
+takes effect as long as no backend has been initialized yet.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

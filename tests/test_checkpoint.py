@@ -1,0 +1,63 @@
+"""Checkpoint round-trips: orbax state, .h5 weights, args.txt."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from k210_yolo_framework_tpu.config import TrainConfig, voc_spec
+from k210_yolo_framework_tpu.models import build_network
+from k210_yolo_framework_tpu.training import checkpoint as CK
+from k210_yolo_framework_tpu.training import train as T
+
+SPEC = voc_spec()
+
+
+def _state():
+    net = build_network("yolo_mobilev1", SPEC.in_hw, 3, 20, alpha=0.5)
+    return net, T.create_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
+
+
+def test_h5_roundtrip(tmp_path):
+    net, state = _state()
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    p = str(tmp_path / "m.h5")
+    CK.save_h5(p, variables)
+    # perturb template to prove load overwrites
+    tmpl = jax.tree.map(lambda x: np.zeros_like(x), variables)
+    loaded = CK.load_h5(p, tmpl)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_h5_shape_mismatch_raises(tmp_path):
+    net, state = _state()
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    p = str(tmp_path / "m.h5")
+    CK.save_h5(p, variables)
+    other = build_network("yolo_mobilev1", SPEC.in_hw, 3, 20, alpha=1.0)
+    st2 = T.create_train_state(other, TrainConfig(), jax.random.PRNGKey(0))
+    tmpl = {"params": jax.device_get(st2.params),
+            "batch_stats": jax.device_get(st2.batch_stats)}
+    import pytest
+    with pytest.raises(ValueError):
+        CK.load_h5(p, tmpl)
+
+
+def test_orbax_state_roundtrip(tmp_path):
+    net, state = _state()
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+    CK.save_state(str(tmp_path / "ckpt"), state)
+    restored = CK.restore_state(str(tmp_path / "ckpt"), jax.device_get(state))
+    assert int(restored.step) == 42
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_args_txt(tmp_path):
+    p = tmp_path / "args.txt"
+    CK.write_args_txt({"model_def": "yolo_mobilev1", "batch_size": 16}, str(p))
+    txt = p.read_text()
+    assert "model_def: yolo_mobilev1\n" in txt and "batch_size: 16\n" in txt
