@@ -2,9 +2,16 @@
 """Benchmark: end-to-end serving throughput on the demo config.
 
 Measures imgs/sec/chip for the FULL pipeline — uint8 frames in, final
-NMS'd detections out (letterbox + normalize + yolo_mobilev1-0.75 forward +
-decode + per-class NMS), batch-parallel on one chip at 224x320 — the
-BASELINE.md north-star metric (target >= 10,000 imgs/sec/chip on v5e).
+NMS'd detections out (letterbox + normalize + yolo_mobilev1-0.75 forward
+in bf16 + decode + per-class Pallas NMS), batch-parallel on one chip at
+224x320 — the BASELINE.md north-star metric (target >= 10,000
+imgs/sec/chip on v5e).
+
+Methodology: each iteration's input depends on the previous iteration's
+output (a data-dependent +0/+1 bump), so the timed loop forms a true
+on-device dependency chain; blocking on the last result therefore times
+ALL iterations.  (Plain ``block_until_ready`` does not serialize prior
+dispatches on every platform, which inflates async-enqueue timings.)
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,7 +35,8 @@ def main():
                         spec.class_num, alpha=0.75)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0))
 
-    pred = Predictor(net, variables, spec, obj_thresh=0.7, iou_thresh=0.3)
+    pred = Predictor(net, variables, spec, obj_thresh=0.7, iou_thresh=0.3,
+                     compute_dtype=jnp.bfloat16)
 
     batch = 256
     rng = np.random.default_rng(0)
@@ -36,15 +44,22 @@ def main():
     canvases = jnp.asarray(rng.integers(0, 256, (batch, 240, 320, 3)).astype(np.uint8))
     img_hws = jnp.asarray(np.tile([240, 320], (batch, 1)).astype(np.int32))
 
-    # warmup/compile
-    res = pred._run_batch(pred.variables, canvases, img_hws)
-    jax.block_until_ready(res.boxes)
+    @jax.jit
+    def step(canv):
+        res = pred._run_batch(pred.variables, canv, img_hws)
+        # data-dependent bump chains the next iteration to this result
+        bump = (res.scores.sum() > 1e9).astype(jnp.uint8)
+        return canv + bump, res.scores.sum()
 
-    iters = 20
+    canv, out = step(canvases)            # warmup/compile
+    jax.block_until_ready(out)
+
+    iters = 50
+    canv = canvases
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = pred._run_batch(pred.variables, canvases, img_hws)
-    jax.block_until_ready(res.boxes)
+        canv, out = step(canv)
+    _ = float(out)                        # host fetch = hard completion barrier
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt

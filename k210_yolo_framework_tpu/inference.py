@@ -46,21 +46,30 @@ class Predictor:
 
     def __init__(self, net: YoloNet, variables, spec: YoloSpec,
                  obj_thresh: float = 0.7, iou_thresh: float = 0.3,
-                 class_softmax: bool = False, max_out: int = 30):
+                 class_softmax: bool = False, max_out: int = 30,
+                 compute_dtype=jnp.float32):
+        """``compute_dtype=jnp.bfloat16`` runs the conv stack in bf16 on the
+        MXU (weights cast once here); decode/NMS stay fp32."""
         self.net = net
+        if compute_dtype == jnp.bfloat16:
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
         self.variables = variables
         self.spec = spec
         self.obj_thresh = obj_thresh
         self.iou_thresh = iou_thresh
         self.class_softmax = class_softmax
         self.max_out = max_out
+        self.compute_dtype = compute_dtype
 
     # ---- single image (per-shape compile, like a CLI tool) ---------------
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run_single(self, variables, img_u8: jnp.ndarray, img_hw: jnp.ndarray):
         img = LB.letterbox_image(img_u8, img_hw, self.spec.in_hw)
-        img = LB.normalize_image(img)
+        img = LB.normalize_image(img).astype(self.compute_dtype)
         preds = self.net.apply(variables, img[None])
         boxes, scores = D.decode_outputs([p[0] for p in preds], self.spec,
                                          img_hw, self.class_softmax)
@@ -84,7 +93,7 @@ class Predictor:
     def _run_batch(self, variables, canvases_u8: jnp.ndarray, img_hws: jnp.ndarray):
         def one(canvas, hw):
             img = LB.normalize_image(LB.letterbox_image(canvas, hw, self.spec.in_hw))
-            return img
+            return img.astype(self.compute_dtype)
 
         imgs = jax.vmap(one)(canvases_u8, img_hws)
         preds = self.net.apply(variables, imgs)
@@ -93,8 +102,9 @@ class Predictor:
             return D.decode_outputs(pred_list, self.spec, hw, self.class_softmax)
 
         boxes, scores = jax.vmap(decode_one)(preds, img_hws)
-        return N.batched_nms(boxes, scores, self.obj_thresh, self.iou_thresh,
-                             self.max_out)
+        from k210_yolo_framework_tpu.ops.nms_pallas import batched_nms_pallas
+        return batched_nms_pallas(boxes, scores, self.obj_thresh,
+                                  self.iou_thresh, self.max_out)
 
     def predict_batch(self, canvases: np.ndarray, img_hws: np.ndarray) -> List[Detections]:
         res = self._run_batch(self.variables, jnp.asarray(canvases),

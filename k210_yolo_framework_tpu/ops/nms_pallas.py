@@ -1,0 +1,147 @@
+"""Fused per-class greedy NMS as a single Pallas TPU kernel.
+
+Replaces the gather/scatter/top_k-based XLA path (ops/nms.py) on TPU.
+Reference semantics preserved exactly (/root/reference/keras_inference.py:
+116-131 — per-class ``tf.image.non_max_suppression``, score >= obj_thresh,
+IoU > iou_thresh suppression, max_out boxes per class, first-index
+tie-breaking like TF).
+
+Design (one grid program per image — everything lives in VMEM):
+  * scores laid out [C, N] (classes on sublanes, candidates on lanes) and
+    boxes [4, N]: each greedy step is pure VPU work — a lane-wise max, a
+    first-index-of-max mask, a masked broadcast to extract the winning
+    box, one [C, N] IoU row, and a suppression select.  No gathers, no
+    scatters, no sorts, and no HBM traffic beyond the in/out arrays —
+    the 1050-candidate working set is ~100 KB.
+  * the ``max_out`` (30) selection steps are unrolled at trace time so
+    output slots are static stores.
+  * a box selected with score below ``score_thresh`` only ever happens
+    once every above-threshold candidate is consumed, so thresholding the
+    output slots afterwards is exactly the reference's pre-filter.
+
+The kernel runs in interpret mode off-TPU so tests exercise identical code
+on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from k210_yolo_framework_tpu.ops.nms import NmsResult
+
+__all__ = ["batched_nms_pallas"]
+
+_NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _nms_kernel(boxes_ref, scores_ref, out_boxes_ref, out_scores_ref,
+                *, n: int, max_out: int, iou_thresh: float):
+    """One image: boxes_ref [1, 4, Np], scores_ref [1, Cp, Np],
+    out_boxes_ref [1, 4, Cp, So], out_scores_ref [1, Cp, So]."""
+    y0 = boxes_ref[0, 0:1, :]                     # [1, Np]
+    x0 = boxes_ref[0, 1:2, :]
+    y1 = boxes_ref[0, 2:3, :]
+    x1 = boxes_ref[0, 3:4, :]
+    area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+
+    scores = scores_ref[0]                        # [Cp, Np]
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(lane < n, scores, _NEG)    # mask lane padding
+
+    for k in range(max_out):
+        m = jnp.max(scores, axis=1, keepdims=True)                    # [Cp, 1]
+        sel = jnp.min(jnp.where(scores == m, lane, jnp.int32(2**30)),
+                      axis=1, keepdims=True)                          # [Cp, 1]
+        is_sel = lane == sel                                          # [Cp, Np]
+
+        def pick(row):  # [1, Np] -> [Cp, 1] winning coordinate per class
+            return jnp.max(jnp.where(is_sel, row, _NEG), axis=1, keepdims=True)
+
+        sy0, sx0, sy1, sx1 = pick(y0), pick(x0), pick(y1), pick(x1)
+        s_area = jnp.maximum(sy1 - sy0, 0.0) * jnp.maximum(sx1 - sx0, 0.0)
+
+        out_scores_ref[0, :, k:k + 1] = m
+        out_boxes_ref[0, 0, :, k:k + 1] = sy0
+        out_boxes_ref[0, 1, :, k:k + 1] = sx0
+        out_boxes_ref[0, 2, :, k:k + 1] = sy1
+        out_boxes_ref[0, 3, :, k:k + 1] = sx1
+
+        # IoU of each class's winner against every candidate: [Cp, Np]
+        iy = jnp.maximum(jnp.minimum(sy1, y1) - jnp.maximum(sy0, y0), 0.0)
+        ix = jnp.maximum(jnp.minimum(sx1, x1) - jnp.maximum(sx0, x0), 0.0)
+        inter = iy * ix
+        union = s_area + area - inter
+        iou = jnp.where(union > 0, inter / union, 0.0)
+        scores = jnp.where((iou > iou_thresh) | is_sel, _NEG, scores)
+
+
+def batched_nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
+                       score_thresh: float = 0.7, iou_thresh: float = 0.3,
+                       max_out: int = 30,
+                       interpret: bool | None = None) -> NmsResult:
+    """boxes [B, N, 4] yxyx, scores [B, N, C] -> NmsResult batched [B, ...].
+
+    Output layout/order matches ops/nms.py ``batched_nms`` (class-major,
+    score-descending within class).
+    """
+    bsz, nboxes, class_num = scores.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    np_ = _round_up(nboxes, 128)
+    cp = _round_up(class_num, 8)
+    so = _round_up(max_out, 128)  # static-store slots, lane-padded
+
+    boxes_t = jnp.transpose(boxes, (0, 2, 1)).astype(jnp.float32)     # [B, 4, N]
+    scores_t = jnp.transpose(scores, (0, 2, 1)).astype(jnp.float32)   # [B, C, N]
+    boxes_t = jnp.pad(boxes_t, ((0, 0), (0, 0), (0, np_ - nboxes)))
+    scores_t = jnp.pad(scores_t, ((0, 0), (0, cp - class_num),
+                                  (0, np_ - nboxes)), constant_values=_NEG)
+
+    kernel = functools.partial(_nms_kernel, n=nboxes, max_out=max_out,
+                               iou_thresh=iou_thresh)
+    out_b, out_s = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, 4, np_), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp, np_), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 4, cp, so), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp, so), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, 4, cp, so), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, cp, so), jnp.float32),
+        ),
+        interpret=interpret,
+    )(boxes_t, scores_t)
+
+    out_scores = out_s[:, :class_num, :max_out]                       # [B, C, M]
+    out_boxes = jnp.transpose(out_b[:, :, :class_num, :max_out],
+                              (0, 2, 3, 1))                           # [B, C, M, 4]
+    valid = out_scores >= score_thresh
+    out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)           # parity w/ nms.py
+    classes = jnp.broadcast_to(
+        jnp.arange(class_num, dtype=jnp.int32)[None, :, None],
+        (bsz, class_num, max_out))
+    return NmsResult(
+        boxes=out_boxes.reshape(bsz, -1, 4),
+        scores=jnp.where(valid, out_scores, 0.0).reshape(bsz, -1),
+        classes=classes.reshape(bsz, -1),
+        valid=valid.reshape(bsz, -1),
+    )
