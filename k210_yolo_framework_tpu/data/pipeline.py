@@ -97,7 +97,8 @@ class DataPipeline:
     """
 
     def __init__(self, ann_list: np.ndarray, batch_size: int, seed: int,
-                 canvas_hw=CANVAS_HW, num_workers: int = 8, prefetch: int = 4):
+                 canvas_hw=CANVAS_HW, num_workers: int = 8, prefetch: int = 4,
+                 use_native: Optional[bool] = None):
         if len(ann_list) == 0:
             raise ValueError("empty annotation list")
         self.ann_list = ann_list
@@ -108,6 +109,10 @@ class DataPipeline:
         self.prefetch = prefetch
         # steps per epoch == total // batch (utils.py:449-450)
         self.epoch_step = len(ann_list) // batch_size
+        if use_native is None:  # auto: C++ loader when the lib builds
+            from k210_yolo_framework_tpu import native
+            use_native = native.available()
+        self.use_native = use_native
 
     def _load_one(self, row) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         path, boxes, _hw = row
@@ -123,7 +128,27 @@ class DataPipeline:
             for i in order:
                 yield int(i)
 
+    def _iter_native(self) -> Iterator[HostBatch]:
+        """C++ loader path: decode/stage in native worker threads (GIL-free);
+        only the tiny gt-box padding stays host-Python."""
+        from k210_yolo_framework_tpu.native import NativeLoader
+
+        loader = NativeLoader([str(r[0]) for r in self.ann_list],
+                              self.canvas_hw, self.batch_size, self.seed,
+                              self.num_workers, self.prefetch)
+        try:
+            while True:
+                canvases, hws, idxs = loader.next()
+                padded, valid = zip(*(C.pad_boxes(np.copy(self.ann_list[i][1]))
+                                      for i in idxs))
+                yield HostBatch(canvases, hws, np.stack(padded), np.stack(valid))
+        finally:
+            loader.close()
+
     def __iter__(self) -> Iterator[HostBatch]:
+        if self.use_native:
+            yield from self._iter_native()
+            return
         stream = self._index_stream()
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
