@@ -93,6 +93,20 @@ anchors:
 			--low ${LOW} \
 			--high ${HIGH}
 
+eval:
+	python3 ./keras_eval.py \
+			${CKPT} \
+			--train_set ${DATASET} \
+			--class_num ${CLSNUM} \
+			--model_def ${MODEL} \
+			--depth_multiplier ${DEPTHMUL} \
+			--iou_thresh ${IOUTHRESH} \
+			--image_size ${IMGSIZE} \
+			--output_size ${OUTSIZE}
+
+native:
+	$(MAKE) -C csrc
+
 test:
 	python3 -m pytest tests/ -q
 

@@ -1,0 +1,138 @@
+"""VOC-style mAP evaluation.
+
+The reference has no quantitative eval (SURVEY.md §4 — QA was progress-bar
+P/R and eyeballing drawn boxes); BASELINE.md's parity target is VOC mAP, so
+this module adds the missing harness: batched TPU inference over an
+annotation list (the ``{name}_img_ann.npy`` format of make_voc_list.py:19-26)
+plus the standard VOC AP computation, both 11-point interpolated (VOC2007)
+and all-points (VOC2010+).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["voc_ap", "DetectionRecord", "match_detections", "evaluate_map"]
+
+
+def voc_ap(recall: np.ndarray, precision: np.ndarray,
+           use_07_metric: bool = True) -> float:
+    """AP from (recall, precision) curves, VOC semantics."""
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = np.max(precision[recall >= t]) if np.any(recall >= t) else 0.0
+            ap += p / 11.0
+        return float(ap)
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+class DetectionRecord:
+    """Accumulates detections + ground truth across a dataset."""
+
+    def __init__(self, class_num: int):
+        self.class_num = class_num
+        self.dets: List[List[Tuple[int, float, np.ndarray]]] = [
+            [] for _ in range(class_num)]  # (image_id, score, yxyx)
+        self.gts: List[Dict[int, np.ndarray]] = [
+            {} for _ in range(class_num)]  # image_id -> [n, 4] yxyx
+
+    def add_image(self, image_id: int, det_boxes: np.ndarray,
+                  det_scores: np.ndarray, det_classes: np.ndarray,
+                  gt_boxes: np.ndarray, gt_classes: np.ndarray):
+        for b, s, c in zip(det_boxes, det_scores, det_classes):
+            self.dets[int(c)].append((image_id, float(s), np.asarray(b, float)))
+        for c in range(self.class_num):
+            m = gt_classes == c
+            if m.any():
+                self.gts[c][image_id] = np.asarray(gt_boxes[m], float)
+
+
+def _iou_1toN(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    ymin = np.maximum(box[0], boxes[:, 0])
+    xmin = np.maximum(box[1], boxes[:, 1])
+    ymax = np.minimum(box[2], boxes[:, 2])
+    xmax = np.minimum(box[3], boxes[:, 3])
+    inter = np.maximum(ymax - ymin, 0) * np.maximum(xmax - xmin, 0)
+    a1 = max(box[2] - box[0], 0) * max(box[3] - box[1], 0)
+    a2 = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    union = a1 + a2 - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def match_detections(record: DetectionRecord, map_iou: float = 0.5,
+                     use_07_metric: bool = True) -> Dict[str, object]:
+    """Greedy per-class matching (standard VOC protocol) -> AP per class."""
+    aps = np.full((record.class_num,), np.nan)
+    for c in range(record.class_num):
+        gts = record.gts[c]
+        npos = sum(len(v) for v in gts.values())
+        dets = sorted(record.dets[c], key=lambda d: -d[1])
+        if npos == 0:
+            continue  # class absent from gt: skipped like VOC tooling
+        matched = {k: np.zeros(len(v), bool) for k, v in gts.items()}
+        tp = np.zeros(len(dets))
+        fp = np.zeros(len(dets))
+        for i, (img, _score, box) in enumerate(dets):
+            g = gts.get(img)
+            if g is None or len(g) == 0:
+                fp[i] = 1
+                continue
+            ious = _iou_1toN(box, g)
+            j = int(np.argmax(ious))
+            if ious[j] >= map_iou and not matched[img][j]:
+                tp[i] = 1
+                matched[img][j] = True
+            else:
+                fp[i] = 1
+        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+        recall = ctp / npos
+        precision = ctp / np.maximum(ctp + cfp, 1e-12)
+        aps[c] = voc_ap(recall, precision, use_07_metric)
+    return {"ap": aps, "map": float(np.nanmean(aps)) if np.any(~np.isnan(aps)) else 0.0}
+
+
+def evaluate_map(predictor, ann_list: np.ndarray, class_num: int,
+                 map_iou: float = 0.5, use_07_metric: bool = True,
+                 batch_size: int = 32, canvas_hw: Tuple[int, int] = (512, 512),
+                 progress=None) -> Dict[str, object]:
+    """Run ``predictor`` (inference.Predictor) over the dataset and score mAP.
+
+    For mAP the predictor should be built with a LOW obj_thresh (e.g. 0.01)
+    and a larger max_out than serving defaults — AP integrates over the full
+    precision/recall curve.
+    """
+    from k210_yolo_framework_tpu.data.annotations import read_image
+    from k210_yolo_framework_tpu.data.pipeline import _stage_image
+
+    record = DetectionRecord(class_num)
+    n = len(ann_list)
+    for start in range(0, n - n % batch_size + (batch_size if n % batch_size else 0),
+                       batch_size):
+        rows = [ann_list[min(i, n - 1)] for i in range(start, start + batch_size)]
+        canvases, hws = zip(*(_stage_image(read_image(str(r[0])), canvas_hw)
+                              for r in rows))
+        dets = predictor.predict_batch(np.stack(canvases), np.stack(hws))
+        for k, (row, det) in enumerate(zip(rows, dets)):
+            i = start + k
+            if i >= n:
+                break
+            h, w = hws[k]
+            gt = np.asarray(row[1], float)
+            # normalized (cls, cx, cy, w, h) -> pixel yxyx at the STAGED size
+            cy, cx = gt[:, 2] * h, gt[:, 1] * w
+            bh, bw = gt[:, 4] * h, gt[:, 3] * w
+            gt_boxes = np.stack([cy - bh / 2, cx - bw / 2,
+                                 cy + bh / 2, cx + bw / 2], axis=1)
+            record.add_image(i, det.boxes, det.scores, det.classes,
+                             gt_boxes, gt[:, 0].astype(int))
+        if progress is not None:
+            progress(min(start + batch_size, n), n)
+    return match_detections(record, map_iou, use_07_metric)

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""VOC mAP evaluation over a dataset — new capability (the reference has no
+quantitative eval, SURVEY.md §4); flag surface mirrors keras_inference.py.
+
+Example:
+    python keras_eval.py log/<run>/yolo_model.h5 --train_set voc \
+        --model_def yolo_mobilev1 --depth_multiplier 0.75
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
+    from k210_yolo_framework_tpu.data.annotations import load_ann_list
+    from k210_yolo_framework_tpu.eval import evaluate_map
+    from k210_yolo_framework_tpu.inference import Predictor, VOC_LABELS
+    from k210_yolo_framework_tpu.models import build_network
+    from k210_yolo_framework_tpu.training import checkpoint as CK
+    from k210_yolo_framework_tpu.training import train as T
+    from k210_yolo_framework_tpu.utils import INFO, NOTE
+
+    spec = YoloSpec.from_files(
+        f"data/{args.train_set}_anchor.npy",
+        in_hw=tuple(args.image_size),
+        out_hws=tuple(args.output_size),
+        class_num=args.class_num)
+
+    net = build_network(args.model_def, spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=args.depth_multiplier)
+    state = T.create_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if str(args.pre_ckpt).endswith(".h5"):
+        variables = CK.load_h5(args.pre_ckpt, variables)
+    else:
+        restored = CK.restore_state(args.pre_ckpt, jax.device_get(state))
+        variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+    print(INFO, f"Load CKPT {args.pre_ckpt}")
+
+    pred = Predictor(net, variables, spec, obj_thresh=args.obj_thresh,
+                     iou_thresh=args.iou_thresh, max_out=args.max_out,
+                     compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    ann = load_ann_list(f"data/{args.train_set}_img_ann.npy")
+    if args.limit:
+        ann = ann[:args.limit]
+
+    res = evaluate_map(pred, ann, args.class_num, map_iou=args.map_iou,
+                       use_07_metric=not args.use_12_metric,
+                       batch_size=args.batch_size,
+                       progress=lambda d, t: print(f"\r eval {d}/{t}", end=""))
+    print()
+    labels = VOC_LABELS if args.class_num == len(VOC_LABELS) else [
+        str(i) for i in range(args.class_num)]
+    for c, ap in enumerate(res["ap"]):
+        if not np.isnan(ap):
+            print(f"  {labels[c]:<16s} AP@{args.map_iou:.2f} = {ap:.4f}")
+    print(NOTE, f"mAP@{args.map_iou:.2f} = {res['map']:.4f}")
+    return 0
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("pre_ckpt", type=str)
+    parser.add_argument("--train_set", type=str, default="voc")
+    parser.add_argument("--class_num", type=int, default=20)
+    parser.add_argument("--model_def", type=str, default="yolo_mobilev2")
+    parser.add_argument("--depth_multiplier", type=float,
+                        choices=[0.5, 0.75, 1.0], default=1.0)
+    parser.add_argument("--image_size", type=int, default=(224, 320), nargs="+")
+    parser.add_argument("--output_size", type=int, default=(7, 10, 14, 20), nargs="+")
+    parser.add_argument("--obj_thresh", type=float, default=0.01,
+                        help="LOW for mAP — AP integrates the full PR curve")
+    parser.add_argument("--iou_thresh", type=float, default=0.45)
+    parser.add_argument("--map_iou", type=float, default=0.5)
+    parser.add_argument("--max_out", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--use_12_metric", action="store_true",
+                        help="all-points AP instead of VOC07 11-point")
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--limit", type=int, default=0)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main(parse_args(sys.argv[1:])))
