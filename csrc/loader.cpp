@@ -201,6 +201,7 @@ struct Batch {
   std::vector<int32_t> hws;
   std::vector<int32_t> indices;
   std::atomic<int> remaining{0};
+  uint64_t seq = 0;  // schedule order; consumed strictly in sequence
 };
 
 struct Loader {
@@ -209,7 +210,9 @@ struct Loader {
   std::mt19937_64 rng;
 
   std::vector<std::unique_ptr<Batch>> ring;
-  std::deque<int> ready;         // completed ring slots, FIFO
+  std::deque<int> ready;         // completed ring slots (completion order)
+  uint64_t next_seq = 0;         // next sequence number to hand out
+  uint64_t consume_seq = 0;      // next sequence number the consumer gets
   std::deque<int> free_slots;    // reusable ring slots
   std::deque<std::tuple<int, int, int>> jobs;  // (slot, pos, sample idx)
   std::vector<int> order;
@@ -231,6 +234,7 @@ struct Loader {
 
   void schedule_batch_locked(int slot) {
     Batch& b = *ring[slot];
+    b.seq = next_seq++;
     b.remaining.store(batch);
     for (int pos = 0; pos < batch; ++pos)
       jobs.emplace_back(slot, pos, next_index_locked());
@@ -318,13 +322,25 @@ void* yl_loader_create(const char** paths, int n_paths, int canvas_h,
 int yl_loader_next(void* handle, uint8_t* canvases, int32_t* hws,
                    int32_t* indices) {
   auto* L = static_cast<Loader*>(handle);
-  int slot;
+  int slot = -1;
   {
+    // deliver strictly in schedule order: completion may reorder slots,
+    // but consumers must see a deterministic epoch stream
     std::unique_lock<std::mutex> lk(L->mu);
-    L->cv_ready.wait(lk, [&] { return L->stop || !L->ready.empty(); });
+    L->cv_ready.wait(lk, [&] {
+      if (L->stop) return true;
+      for (int s : L->ready)
+        if (L->ring[s]->seq == L->consume_seq) return true;
+      return false;
+    });
     if (L->stop) return 1;
-    slot = L->ready.front();
-    L->ready.pop_front();
+    for (auto it = L->ready.begin(); it != L->ready.end(); ++it)
+      if (L->ring[*it]->seq == L->consume_seq) {
+        slot = *it;
+        L->ready.erase(it);
+        break;
+      }
+    ++L->consume_seq;
   }
   Batch& b = *L->ring[slot];
   std::memcpy(canvases, b.canvases.data(), b.canvases.size());

@@ -90,11 +90,16 @@ def main(args):
     pp_train = PL.make_preprocess_fn(spec, is_training=cfg.augment)
     pp_test = PL.make_preprocess_fn(spec, is_training=False)
 
+    # per-batch scalars: jsonl + TensorBoard event file (the reference's
+    # TensorBoard(update_freq='batch') callback, keras_train.py:92)
+    from k210_yolo_framework_tpu.utils.tboard import SummaryWriter
     scalar_log = open(log_dir / "scalars.jsonl", "a")
+    tb = SummaryWriter(str(log_dir))
 
     def scalar_logger(step, logs):
         import json
         scalar_log.write(json.dumps({"step": step, **logs}) + "\n")
+        tb.add_scalars(list(logs.items()), step)
 
     state = T.fit(
         net, spec, cfg,
@@ -105,6 +110,7 @@ def main(args):
         scalar_logger=scalar_logger,
         state=state)
     scalar_log.close()
+    tb.close()
 
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
