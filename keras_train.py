@@ -104,12 +104,23 @@ def main(args):
         scalar_log.write(json.dumps({"step": step, **logs}) + "\n")
         tb.add_scalars(list(logs.items()), step)
 
+    mesh = None
+    if args.mesh:  # "dp,mp" over jax.devices(); "auto" = all-DP
+        from k210_yolo_framework_tpu.parallel import make_mesh
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            dp, mp = (int(x) for x in args.mesh.split(","))
+            mesh = make_mesh(dp=dp, mp=mp)
+        print(INFO, f"mesh {dict(mesh.shape)} over {len(jax.devices())} devices")
+
     state = T.fit(
         net, spec, cfg,
         iter(train_pipe), iter(test_pipe) if test_pipe else None,
         pp_train, pp_test,
         train_pipe.epoch_step, test_pipe.epoch_step if test_pipe else 0,
         jax.random.PRNGKey(cfg.rand_seed),
+        mesh=mesh,
         scalar_logger=scalar_logger,
         state=state)
     scalar_log.close()
@@ -154,6 +165,9 @@ def parse_args(argv):
     parser.add_argument("--prune_final_sparsity", type=float, default=0.9)
     parser.add_argument("--prune_end_epoch", type=int, default=5)
     parser.add_argument("--prune_frequency", type=int, default=100)
+    parser.add_argument("--mesh", type=str, default="",
+                        help="'dp,mp' or 'auto' — shard training over a "
+                             "device mesh (DP batch + channel TP)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="conv-stack compute dtype (params/loss stay "
