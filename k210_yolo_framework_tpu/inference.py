@@ -97,14 +97,12 @@ class Predictor:
 
         imgs = jax.vmap(one)(canvases_u8, img_hws)
         preds = self.net.apply(variables, imgs)
-
-        def decode_one(pred_list, hw):
-            return D.decode_outputs(pred_list, self.spec, hw, self.class_softmax)
-
-        boxes, scores = jax.vmap(decode_one)(preds, img_hws)
-        from k210_yolo_framework_tpu.ops.nms_pallas import batched_nms_pallas
-        return batched_nms_pallas(boxes, scores, self.obj_thresh,
-                                  self.iou_thresh, self.max_out)
+        # decode + per-class NMS fused into one Pallas kernel
+        from k210_yolo_framework_tpu.ops.yolo_head_pallas import fused_decode_nms
+        return fused_decode_nms([p.astype(jnp.float32) for p in preds],
+                                self.spec, img_hws, self.obj_thresh,
+                                self.iou_thresh, self.max_out,
+                                self.class_softmax)
 
     def predict_batch(self, canvases: np.ndarray, img_hws: np.ndarray) -> List[Detections]:
         res = self._run_batch(self.variables, jnp.asarray(canvases),

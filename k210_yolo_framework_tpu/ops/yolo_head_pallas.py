@@ -1,0 +1,221 @@
+"""Fully fused YOLO head: decode + letterbox-inverse + per-class NMS in ONE
+Pallas TPU kernel.
+
+Extends ops/nms_pallas.py by pulling the decode stage
+(ops/decode.py — sigmoid xy + grid offset, exp wh * anchor, score =
+sigmoid(cls)*sigmoid(conf) or softmax flavor, letterbox inverse to
+original-image yxyx) into the same VMEM-resident program, so the decoded
+boxes/scores never round-trip through HBM and the [B, N, C] -> [B, C, N]
+transpose disappears.
+
+Layout per grid program (one image):
+  * ``preds_t``  [Ep, Np]  — raw logits, entries (tx ty tw th conf cls...)
+    on SUBLANES, the N=Σ h·w·a candidates on LANES;
+  * ``geom``     [8, Np]   — per-candidate constants precomputed once from
+    the YoloSpec: gx, gy, 1/gw, 1/gh, anchor_w, anchor_h, valid, pad;
+  * ``lbox``     [1, 8]    — per-image letterbox-inverse scalars
+    (off_y, off_x, sy, sx, img_h, img_w, 0, 0), from ``img_hw``;
+  * outputs identical to nms_pallas (boxes [4, Cp, So], scores [Cp, So]).
+
+Reference math: tools/utils.py:524-547 (decode), keras_inference.py:32-72
+(correct_box), 94-131 (scores + per-class NMS), region_layer.c:91-136
+(softmax flavor).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from k210_yolo_framework_tpu.config import YoloSpec
+from k210_yolo_framework_tpu.ops.nms import NmsResult
+
+__all__ = ["candidate_geometry", "letterbox_inverse_params",
+           "fused_decode_nms"]
+
+_NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def candidate_geometry(spec: YoloSpec) -> np.ndarray:
+    """[8, N] per-candidate constants: gx, gy, 1/gw, 1/gh, aw, ah, 1, 0.
+
+    Candidate order matches ops/decode.decode_outputs: layers concatenated,
+    within a layer row-major (gy, gx, anchor)."""
+    cols = []
+    anchors = spec.anchors_np()
+    for l, (h, w) in enumerate(spec.out_hws):
+        gy, gx, a = np.meshgrid(np.arange(h), np.arange(w),
+                                np.arange(spec.nanchors), indexing="ij")
+        aw = anchors[l][:, 0][a]
+        ah = anchors[l][:, 1][a]
+        n = h * w * spec.nanchors
+        cols.append(np.stack([
+            gx.reshape(n), gy.reshape(n),
+            np.full(n, 1.0 / w), np.full(n, 1.0 / h),
+            aw.reshape(n), ah.reshape(n),
+            np.ones(n), np.zeros(n)]))
+    return np.concatenate(cols, axis=1).astype(np.float32)
+
+
+def letterbox_inverse_params(img_hws: jnp.ndarray, in_hw) -> jnp.ndarray:
+    """[B, 8] (off_y, off_x, sy, sx, img_h, img_w, 0, 0) — the ``correct_box``
+    factors (keras_inference.py:32-72, ROUND semantics)."""
+    image_shape = img_hws.astype(jnp.float32)                      # [B, 2]
+    input_shape = jnp.asarray(in_hw, jnp.float32)
+    new_shape = jnp.round(image_shape * jnp.min(input_shape / image_shape,
+                                                axis=-1, keepdims=True))
+    offset = (input_shape - new_shape) / 2.0 / input_shape         # [B, 2]
+    scale = input_shape / new_shape                                # [B, 2]
+    zeros = jnp.zeros_like(offset)
+    return jnp.concatenate([offset, scale, image_shape, zeros], axis=-1)
+
+
+def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
+            *, n: int, classes: int, cp: int, max_out: int, iou_thresh: float,
+            class_softmax: bool):
+    g = geom_ref[:]                                   # [8, Np]
+    gx, gy = g[0:1], g[1:2]
+    inv_gw, inv_gh = g[2:3], g[3:4]
+    aw, ah = g[4:5], g[5:6]
+
+    p = preds_ref[0]                                  # [Ep, Np]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p.shape[1]), 1)
+    in_range = lane < n                               # [1, Np]
+
+    # decode to normalized net xywh (tools/utils.py:524-547)
+    cx = (jax.nn.sigmoid(p[0:1]) + gx) * inv_gw
+    cy = (jax.nn.sigmoid(p[1:2]) + gy) * inv_gh
+    bw = jnp.exp(p[2:3]) * aw
+    bh = jnp.exp(p[3:4]) * ah
+
+    # letterbox inverse -> original-image pixels (keras_inference.py:32-72)
+    off_y, off_x = lbox_ref[0, 0, 0], lbox_ref[0, 0, 1]
+    sy, sx = lbox_ref[0, 0, 2], lbox_ref[0, 0, 3]
+    ih, iw = lbox_ref[0, 0, 4], lbox_ref[0, 0, 5]
+    oy, ox = (cy - off_y) * sy, (cx - off_x) * sx
+    oh, ow = bh * sy, bw * sx
+    y0 = (oy - oh * 0.5) * ih
+    x0 = (ox - ow * 0.5) * iw
+    y1 = (oy + oh * 0.5) * ih
+    x1 = (ox + ow * 0.5) * iw
+    area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+
+    conf = jax.nn.sigmoid(p[4:5])                     # [1, Np]
+    cls_logits = p[5:5 + cp]                          # [Cp, Np] (rows >= C pad)
+    row = jax.lax.broadcasted_iota(jnp.int32, cls_logits.shape, 0)
+    real_cls = row < classes
+    if class_softmax:  # firmware flavor (region_layer.c:91-136)
+        # pad rows must not enter the normalization
+        masked = jnp.where(real_cls, cls_logits, _NEG)
+        scores = jax.nn.softmax(masked, axis=0) * conf
+    else:              # canonical TF flavor (keras_inference.py:101)
+        scores = jax.nn.sigmoid(cls_logits) * conf
+    scores = jnp.where(in_range & real_cls, scores, _NEG)
+
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    for k in range(max_out):
+        m = jnp.max(scores, axis=1, keepdims=True)                   # [C, 1]
+        sel = jnp.min(jnp.where(scores == m, lane_c, jnp.int32(2**30)),
+                      axis=1, keepdims=True)
+        is_sel = lane_c == sel                                       # [C, Np]
+
+        def pick(row):
+            return jnp.max(jnp.where(is_sel, row, _NEG), axis=1, keepdims=True)
+
+        sy0, sx0, sy1, sx1 = pick(y0), pick(x0), pick(y1), pick(x1)
+        s_area = jnp.maximum(sy1 - sy0, 0.0) * jnp.maximum(sx1 - sx0, 0.0)
+
+        out_scores_ref[0, :, k:k + 1] = m
+        out_boxes_ref[0, 0, :, k:k + 1] = sy0
+        out_boxes_ref[0, 1, :, k:k + 1] = sx0
+        out_boxes_ref[0, 2, :, k:k + 1] = sy1
+        out_boxes_ref[0, 3, :, k:k + 1] = sx1
+
+        iy = jnp.maximum(jnp.minimum(sy1, y1) - jnp.maximum(sy0, y0), 0.0)
+        ix = jnp.maximum(jnp.minimum(sx1, x1) - jnp.maximum(sx0, x0), 0.0)
+        inter = iy * ix
+        union = s_area + area - inter
+        iou = jnp.where(union > 0, inter / union, 0.0)
+        scores = jnp.where((iou > iou_thresh) | is_sel, _NEG, scores)
+
+
+def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
+                     img_hws: jnp.ndarray, score_thresh: float = 0.7,
+                     iou_thresh: float = 0.3, max_out: int = 30,
+                     class_softmax: bool = False,
+                     interpret: bool | None = None) -> NmsResult:
+    """preds: per layer [B, h, w, a, 5+C] raw logits; img_hws [B, 2] i32.
+
+    Output matches decode_outputs + batched_nms_pallas exactly.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz = preds[0].shape[0]
+    classes = spec.class_num
+    e = 5 + classes
+
+    flat = [p.reshape(bsz, -1, e) for p in preds]
+    n = sum(f.shape[1] for f in flat)
+    np_ = _round_up(n, 128)
+    cp = _round_up(classes, 8)
+    ep = _round_up(5 + cp, 8)  # entry rows must cover the padded class rows
+    so = _round_up(max_out, 128)
+
+    preds_t = jnp.transpose(jnp.concatenate(flat, axis=1), (0, 2, 1))
+    preds_t = jnp.pad(preds_t.astype(jnp.float32),
+                      ((0, 0), (0, ep - e), (0, np_ - n)))
+    geom = jnp.pad(jnp.asarray(candidate_geometry(spec)),
+                   ((0, 0), (0, np_ - n)))
+    # [B, 1, 8]: TPU SMEM blocks need the last two dims to match the array
+    lbox = letterbox_inverse_params(img_hws, spec.in_hw)[:, None, :]
+
+    kernel = functools.partial(_kernel, n=n, classes=classes, cp=cp,
+                               max_out=max_out, iou_thresh=iou_thresh,
+                               class_softmax=class_softmax)
+    out_b, out_s = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, ep, np_), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, np_), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 4, cp, so), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp, so), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, 4, cp, so), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, cp, so), jnp.float32),
+        ),
+        interpret=interpret,
+    )(preds_t, geom, lbox)
+
+    out_scores = out_s[:, :classes, :max_out]
+    out_boxes = jnp.transpose(out_b[:, :, :classes, :max_out], (0, 2, 3, 1))
+    valid = out_scores >= score_thresh
+    out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
+    classes_arr = jnp.broadcast_to(
+        jnp.arange(classes, dtype=jnp.int32)[None, :, None],
+        (bsz, classes, max_out))
+    return NmsResult(
+        boxes=out_boxes.reshape(bsz, -1, 4),
+        scores=jnp.where(valid, out_scores, 0.0).reshape(bsz, -1),
+        classes=classes_arr.reshape(bsz, -1),
+        valid=valid.reshape(bsz, -1),
+    )

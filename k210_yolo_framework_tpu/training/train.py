@@ -133,6 +133,46 @@ def make_eval_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig):
     return jax.jit(step_fn)
 
 
+def recalibrate_batch_stats(net: YoloNet, params, batch_stats,
+                            batches: Iterator, preprocess, rng: jax.Array,
+                            num_batches: int = 50):
+    """Replace EMA BatchNorm statistics with ARITHMETIC means over fresh
+    training batches (the SWA ``update_bn`` recipe).
+
+    EMA running averages lag the statistics heavily-overfit weights depend
+    on — especially on small datasets, where eval-mode activations can
+    drift far from train-mode ones.  Each mutable apply returns
+    ``new = m*old + (1-m)*batch``; a one-time probe (same batch applied
+    from zeros- and ones-stats: their difference is exactly ``m`` per
+    leaf, valid for ANY per-layer momentum) lets the exact per-batch
+    moments be recovered and averaged uniformly.
+    """
+    @jax.jit
+    def ema_update(bs, images):
+        _, upd = net.apply({"params": params, "batch_stats": bs},
+                           images, train=True)
+        return upd["batch_stats"]
+
+    zeros = jax.tree.map(jnp.zeros_like, batch_stats)
+    ones = jax.tree.map(jnp.ones_like, batch_stats)
+    momentum = None  # per-leaf, probed on the first batch
+
+    total = None
+    for i in range(num_batches):
+        hb = next(batches)
+        rng, k = jax.random.split(rng)
+        images, _ = preprocess(jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+                               jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
+        from_zero = ema_update(zeros, images)           # (1-m) * batch
+        if momentum is None:
+            from_one = ema_update(ones, images)         # m + (1-m) * batch
+            momentum = jax.tree.map(lambda a, b: b - a, from_zero, from_one)
+        m = jax.tree.map(lambda fz, mo: fz / jnp.maximum(1.0 - mo, 1e-6),
+                         from_zero, momentum)
+        total = m if total is None else jax.tree.map(jnp.add, total, m)
+    return jax.tree.map(lambda t: t / num_batches, total)
+
+
 def shard_state(state: TrainState, mesh) -> TrainState:
     """Place params per mesh rules (DP: replicated; +model axis: channel TP)."""
     shardings = TrainState(
@@ -162,6 +202,16 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
         state = create_train_state(net, cfg, rng)
     if mesh is not None:
         state = shard_state(state, mesh)
+    # SIGTERM behaves like the reference's Ctrl-C (save instead of losing the
+    # run) — batch schedulers send SIGTERM on preemption.
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread
+        prev_term = None
     train_step = make_train_step(net, spec, cfg, train_epoch_step)
     eval_step = make_eval_step(net, spec, cfg)
     data_rng = jax.random.PRNGKey(cfg.rand_seed)
@@ -207,5 +257,8 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                 log_fn(f"epoch {epoch + 1} done in {dt:.1f}s loss {float(logs['loss']):.4f}")
     except KeyboardInterrupt:
         log_fn("interrupted — saving current weights (keras_train.py:99-100 behavior)")
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
 
     return state

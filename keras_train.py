@@ -126,6 +126,14 @@ def main(args):
     scalar_log.close()
     tb.close()
 
+    if args.bn_recalibrate > 0:
+        print(INFO, f"recalibrating BN statistics over {args.bn_recalibrate} batches")
+        new_bs = T.recalibrate_batch_stats(
+            net, state.params, jax.device_get(state.batch_stats),
+            iter(train_pipe), pp_test, jax.random.PRNGKey(cfg.rand_seed + 1),
+            num_batches=args.bn_recalibrate)
+        state = state.replace(batch_stats=new_bs)
+
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
     if cfg.is_prune:
@@ -165,6 +173,10 @@ def parse_args(argv):
     parser.add_argument("--prune_final_sparsity", type=float, default=0.9)
     parser.add_argument("--prune_end_epoch", type=int, default=5)
     parser.add_argument("--prune_frequency", type=int, default=100)
+    parser.add_argument("--bn_recalibrate", type=int, default=0,
+                        help="after training, replace BatchNorm EMA stats "
+                             "with arithmetic means over N train batches "
+                             "(SWA update_bn recipe; helps small datasets)")
     parser.add_argument("--mesh", type=str, default="",
                         help="'dp,mp' or 'auto' — shard training over a "
                              "device mesh (DP batch + channel TP)")

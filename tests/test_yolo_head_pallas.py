@@ -1,0 +1,53 @@
+"""Fused decode+NMS kernel vs the two-stage (decode -> NMS) path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from k210_yolo_framework_tpu.config import YoloSpec
+from k210_yolo_framework_tpu.ops import decode as D
+from k210_yolo_framework_tpu.ops.nms_pallas import batched_nms_pallas
+from k210_yolo_framework_tpu.ops.yolo_head_pallas import fused_decode_nms
+
+
+def _spec(classes=6):
+    rng = np.random.default_rng(2)
+    anchors = np.sort(rng.uniform(0.05, 0.9, (2, 3, 2)).astype(np.float32))[:, ::-1]
+    return YoloSpec.create((224, 320), ((7, 10), (14, 20)), classes, anchors)
+
+
+@pytest.mark.parametrize("class_softmax", [False, True])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_matches_two_stage(seed, class_softmax):
+    spec = _spec()
+    rng = np.random.default_rng(seed)
+    B = 3
+    preds = [jnp.asarray(rng.normal(0, 2, (B, h, w, 3, 5 + spec.class_num))
+                         .astype(np.float32)) for h, w in spec.out_hws]
+    img_hws = jnp.asarray(rng.integers(100, 512, (B, 2)).astype(np.int32))
+
+    res_f = fused_decode_nms(preds, spec, img_hws, 0.3, 0.45, 30,
+                             class_softmax=class_softmax)
+
+    import jax
+    def two_stage(pl0, pl1, hw):
+        return D.decode_outputs([pl0, pl1], spec, hw, class_softmax)
+    b, s = jax.vmap(two_stage)(preds[0], preds[1], img_hws)
+    res_t = batched_nms_pallas(b, s, 0.3, 0.45, 30)
+
+    np.testing.assert_array_equal(np.asarray(res_f.valid), np.asarray(res_t.valid))
+    np.testing.assert_allclose(np.asarray(res_f.scores), np.asarray(res_t.scores),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f.boxes), np.asarray(res_t.boxes),
+                               rtol=1e-3, atol=0.05)
+
+
+def test_fused_empty():
+    spec = _spec()
+    B = 2
+    preds = [jnp.full((B, h, w, 3, 5 + spec.class_num), -10.0, jnp.float32)
+             for h, w in spec.out_hws]
+    img_hws = jnp.asarray(np.tile([300, 400], (B, 1)).astype(np.int32))
+    res = fused_decode_nms(preds, spec, img_hws, 0.7, 0.3, 30)
+    assert not np.asarray(res.valid).any()
