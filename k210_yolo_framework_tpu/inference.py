@@ -47,15 +47,20 @@ class Predictor:
     def __init__(self, net: YoloNet, variables, spec: YoloSpec,
                  obj_thresh: float = 0.7, iou_thresh: float = 0.3,
                  class_softmax: bool = False, max_out: int = 30,
-                 compute_dtype=jnp.float32):
-        """``compute_dtype=jnp.bfloat16`` runs the conv stack in bf16 on the
-        MXU (weights cast once here); decode/NMS stay fp32."""
+                 compute_dtype=None):
+        """``compute_dtype`` sets the conv-stack compute dtype by rebuilding
+        the module tree (builders thread ``dtype`` down); params stay fp32
+        master copies, decode/NMS stay fp32.  ``None`` keeps the net's own
+        dtype (no silent numerics change); pass ``jnp.bfloat16`` for serving
+        — fp32 convs are 3x slower per op and catastrophically slow for
+        some shapes on TPU."""
+        import dataclasses
+        if compute_dtype is None:
+            compute_dtype = getattr(net.module, "dtype", jnp.float32)
+        if getattr(net.module, "dtype", None) != compute_dtype:
+            net = dataclasses.replace(
+                net, module=net.module.clone(dtype=compute_dtype))
         self.net = net
-        if compute_dtype == jnp.bfloat16:
-            variables = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-                variables)
         self.variables = variables
         self.spec = spec
         self.obj_thresh = obj_thresh
@@ -92,8 +97,9 @@ class Predictor:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run_batch(self, variables, canvases_u8: jnp.ndarray, img_hws: jnp.ndarray):
         def one(canvas, hw):
-            img = LB.normalize_image(LB.letterbox_image(canvas, hw, self.spec.in_hw))
-            return img.astype(self.compute_dtype)
+            img = LB.letterbox_image(canvas, hw, self.spec.in_hw,
+                                     dtype=self.compute_dtype)
+            return LB.normalize_image(img).astype(self.compute_dtype)
 
         imgs = jax.vmap(one)(canvases_u8, img_hws)
         preds = self.net.apply(variables, imgs)

@@ -62,6 +62,38 @@ def _pad_for(strides: Tuple[int, int], explicit: Optional[Tuple] = None):
     return "SAME" if strides == (1, 1) else "VALID"
 
 
+class _StemConv(nn.Module):
+    """im2col + matmul replacement for convs with tiny input channel counts.
+
+    The few-input-channel stem conv (RGB -> 24/32) hits a pathological
+    lowering on some TPU runtimes (measured ~700 ms for one bf16 3->24
+    3x3 at batch 256 vs ~0.5 ms for every other conv in the net); patch
+    extraction (cheap, VPU) followed by an MXU matmul of the [kh*kw*cin,
+    cout] kernel sidesteps it.  Param name/shape match nn.Conv exactly so
+    checkpoints are interchangeable.
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, cin, self.features))
+        import jax as _jax
+        patches = _jax.lax.conv_general_dilated_patches(
+            x.astype(self.dtype), (kh, kw), self.strides, "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # patches features are ordered (cin, kh, kw) slowest-to-fastest:
+        # transpose the kernel to match before flattening.
+        k2 = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(-1, self.features)
+        return patches @ k2.astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv (+ optional depthwise) -> BN -> activation.
 
@@ -95,6 +127,18 @@ class ConvBN(nn.Module):
                 padding=pad,
                 feature_group_count=x.shape[-1],
                 use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        elif x.shape[-1] <= 4 and not self.use_bias:
+            if pad == "SAME":  # stems in this zoo are explicit-pad/VALID
+                ph = ((self.kernel[0] - 1) // 2, self.kernel[0] // 2)
+                pw = ((self.kernel[1] - 1) // 2, self.kernel[1] // 2)
+                x = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+            x = _StemConv(
+                features=self.features,
+                kernel=self.kernel,
+                strides=self.strides,
                 dtype=self.dtype,
                 name="conv",
             )(x)
