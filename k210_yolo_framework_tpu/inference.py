@@ -110,6 +110,32 @@ class Predictor:
                                 self.iou_thresh, self.max_out,
                                 self.class_softmax)
 
+    # ---- multi-chip data-parallel serving --------------------------------
+
+    def make_sharded_runner(self, mesh):
+        """Batch-sharded serving over a device mesh (pure DP: every chip runs
+        the full fused pipeline — letterbox/forward/decode/NMS — on its batch
+        shard; no collectives needed).  Returns a jitted
+        ``(canvases [B,...], img_hws [B,2]) -> NmsResult`` with B divisible
+        by the mesh's data axis; params are replicated once here.
+        """
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from k210_yolo_framework_tpu.parallel.mesh import DATA_AXIS
+
+        variables = jax.device_put(self.variables, NamedSharding(mesh, P()))
+
+        def local(canvases, img_hws):
+            return self._run_batch(variables, canvases, img_hws)
+
+        sharded = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_rep=False)
+        return jax.jit(sharded)
+
     def predict_batch(self, canvases: np.ndarray, img_hws: np.ndarray) -> List[Detections]:
         res = self._run_batch(self.variables, jnp.asarray(canvases),
                               jnp.asarray(img_hws, jnp.int32))
