@@ -1,0 +1,62 @@
+"""Export artifacts: StableHLO round-trips and executes; all 4 builders
+survive one train step (grad/shape smoke across the whole zoo)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
+from k210_yolo_framework_tpu.export import export_stablehlo
+from k210_yolo_framework_tpu.models import build_network
+from k210_yolo_framework_tpu.ops import codec as C
+from k210_yolo_framework_tpu.training import train as T
+
+
+def _tiny_spec(layers=2, classes=4):
+    rng = np.random.default_rng(0)
+    anchors = np.sort(rng.uniform(0.1, 0.8, (layers, 3, 2)).astype(np.float32))[:, ::-1]
+    grids = ((3, 3), (6, 6), (12, 12))[:layers]
+    return YoloSpec.create((96, 96), grids, classes, anchors)
+
+
+def test_stablehlo_roundtrip_executes():
+    spec = _tiny_spec()
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.5)
+    variables = net.init(jax.random.PRNGKey(0))
+    blob = export_stablehlo(net, variables, batch=2)
+    assert len(blob) > 1000
+
+    from jax import export as jexport
+    restored = jexport.deserialize(bytearray(blob))
+    x = jnp.zeros((2, 96, 96, 3), jnp.float32)
+    outs = restored.call(x)
+    want = net.apply_raw(variables, x)
+    for o, w in zip(outs, want):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(w), rtol=1e-6)
+
+
+@pytest.mark.parametrize("name,layers", [("yolo_mobilev1", 2),
+                                         ("yolo_mobilev2", 2),
+                                         ("tiny_yolo", 2),
+                                         ("yolo", 3)])
+def test_all_builders_one_train_step(name, layers):
+    spec = _tiny_spec(layers)
+    cfg = TrainConfig(batch_size=2)
+    net = build_network(name, spec.in_hw, spec.nanchors, spec.class_num,
+                        alpha=0.75)
+    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    step = T.make_train_step(net, spec, cfg, train_epoch_step=10)
+
+    rng = np.random.default_rng(1)
+    B = 2
+    boxes = np.concatenate([
+        rng.integers(0, spec.class_num, (B, 2, 1)).astype(np.float32),
+        rng.uniform(0.3, 0.7, (B, 2, 2)), rng.uniform(0.1, 0.3, (B, 2, 2))],
+        -1).astype(np.float32)
+    labels = C.encode_labels_batch(jnp.asarray(boxes), jnp.ones((B, 2), bool), spec)
+    images = jnp.asarray(rng.uniform(0, 1, (B, 96, 96, 3)).astype(np.float32))
+    state, logs = step(state, images, labels)
+    assert np.isfinite(float(logs["loss"]))
