@@ -82,8 +82,16 @@ def main(args):
 
     if args.pre_ckpt and args.pre_ckpt not in ("None", ""):
         if args.pre_ckpt.endswith(".h5"):
-            loaded = CK.load_h5(args.pre_ckpt, {"params": state.params,
-                                                "batch_stats": state.batch_stats})
+            template = {"params": state.params, "batch_stats": state.batch_stats}
+            import h5py
+            with h5py.File(args.pre_ckpt, "r") as f:
+                is_native = "params" in f
+            if is_native:
+                loaded = CK.load_h5(args.pre_ckpt, template)
+            else:  # reference Keras layout (model_weights/<layer>/...)
+                from k210_yolo_framework_tpu.port import port_reference_h5
+                loaded = port_reference_h5(args.pre_ckpt, args.model_def, template)
+                print(NOTE, f"ported reference Keras weights from {args.pre_ckpt}")
             state = state.replace(params=loaded["params"],
                                   batch_stats=loaded["batch_stats"])
         else:

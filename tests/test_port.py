@@ -1,0 +1,91 @@
+"""Reference Keras .h5 weight porting: synthetic keras-style files."""
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+
+from k210_yolo_framework_tpu.models import build_network
+from k210_yolo_framework_tpu.port import mobilev1_layer_map, port_reference_h5
+
+
+def _template(alpha=0.75):
+    net = build_network("yolo_mobilev1", (224, 320), 3, 20, alpha=alpha)
+    v = net.init(jax.random.PRNGKey(0))
+    return net, {"params": v["params"], "batch_stats": v["batch_stats"]}
+
+
+def _leaf(tree, path):
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return np.asarray(node)
+
+
+def _write_keras_h5(path, template, table, wrap_model_weights=True, skip=()):
+    """Build a keras-layout h5 whose every weight is a unique constant."""
+    const = {}
+    i = 0
+    with h5py.File(path, "w") as f:
+        root = f.create_group("model_weights") if wrap_model_weights else f
+        for layer, module_path, weights in table:
+            if layer in skip:
+                continue
+            g = root.create_group(layer).create_group(layer)
+            for spec in weights:
+                wname, coll, leaf = spec[0], spec[1], spec[2]
+                ours = _leaf(template[coll], f"{module_path}/{leaf}")
+                shape = ours.shape
+                if wname == "depthwise_kernel:0":
+                    shape = (shape[0], shape[1], shape[3], shape[2])
+                i += 1
+                g.create_dataset(wname, data=np.full(shape, float(i), np.float32))
+                const[(coll, f"{module_path}/{leaf}")] = float(i)
+    return const
+
+
+def test_port_full_model(tmp_path):
+    net, template = _template()
+    table = mobilev1_layer_map()
+    path = str(tmp_path / "ref.h5")
+    const = _write_keras_h5(path, template, table)
+
+    out = port_reference_h5(path, "yolo_mobilev1", template)
+    for (coll, leafpath), want in const.items():
+        got = _leaf(out[coll], leafpath)
+        assert np.all(got == want), (coll, leafpath)
+    # ported variables must run through the model
+    import jax.numpy as jnp
+    outs = net.apply({"params": out["params"], "batch_stats": out["batch_stats"]},
+                     jnp.zeros((1, 224, 320, 3)), train=False)
+    assert outs[0].shape == (1, 7, 10, 3, 25)
+
+
+def test_port_backbone_only(tmp_path):
+    _, template = _template()
+    table = [row for row in mobilev1_layer_map()
+             if row[0].startswith(("conv1", "conv_dw", "conv_pw"))]
+    path = str(tmp_path / "base.h5")
+    const = _write_keras_h5(path, template, table, wrap_model_weights=False)
+
+    out = port_reference_h5(path, "yolo_mobilev1", template, allow_missing=True)
+    for (coll, leafpath), want in const.items():
+        assert np.all(_leaf(out[coll], leafpath) == want)
+    # head untouched = template values
+    np.testing.assert_array_equal(
+        _leaf(out["params"], "head/y1_out/dark_conv_out/bias"),
+        _leaf(template["params"], "head/y1_out/dark_conv_out/bias"))
+    with pytest.raises(KeyError):
+        port_reference_h5(path, "yolo_mobilev1", template, allow_missing=False)
+
+
+def test_port_shape_mismatch_raises(tmp_path):
+    _, template = _template(alpha=0.75)
+    table = mobilev1_layer_map()
+    path = str(tmp_path / "bad.h5")
+    _write_keras_h5(path, template, table)
+    # template for a DIFFERENT alpha -> shapes disagree
+    _, template_10 = _template(alpha=1.0)
+    with pytest.raises(ValueError):
+        port_reference_h5(path, "yolo_mobilev1", template_10)
