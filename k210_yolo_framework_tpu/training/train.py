@@ -193,7 +193,8 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
         rng: jax.Array, mesh=None,
         log_fn: Callable[[str], None] = print,
         scalar_logger=None,
-        state: Optional[TrainState] = None) -> TrainState:
+        state: Optional[TrainState] = None,
+        profile_dir: str = "", profile_step: int = 3) -> TrainState:
     """Epoch loop with the reference's UX: per-step loss/p/r line, one
     validation pass per epoch, Ctrl-C saves instead of crashing
     (keras_train.py:95-100).  Returns the final state (caller saves it).
@@ -222,6 +223,15 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
             t0 = time.time()
             logs = {}
             for i in range(train_epoch_step):
+                # one-step profiler trace, the reference's TensorBoard
+                # profile_batch=3 (keras_train.py:92); view in xprof/perfetto.
+                tracing = profile_dir and int(state.step) + 1 == profile_step
+                if tracing:
+                    try:
+                        jax.profiler.start_trace(profile_dir)
+                    except Exception as e:  # platform may not support tracing
+                        log_fn(f"profiler unavailable: {e}")
+                        tracing = False
                 hb = next(train_batches)
                 data_rng, k = jax.random.split(data_rng)
                 images, labels = preprocess_train(
@@ -232,6 +242,10 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                     images = jax.device_put(images, bs)
                     labels = tuple(jax.device_put(l, bs) for l in labels)
                 state, logs = train_step(state, images, labels)
+                if tracing:
+                    jax.block_until_ready(logs["loss"])
+                    jax.profiler.stop_trace()
+                    log_fn(f"profiler trace written to {profile_dir}")
                 if scalar_logger is not None:
                     scalar_logger(int(state.step), {k: float(v) for k, v in logs.items()})
                 if i % 10 == 0 or i == train_epoch_step - 1:

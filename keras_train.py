@@ -130,7 +130,8 @@ def main(args):
         jax.random.PRNGKey(cfg.rand_seed),
         mesh=mesh,
         scalar_logger=scalar_logger,
-        state=state)
+        state=state,
+        profile_dir=str(log_dir / "profile") if str2bool(args.profile) else "")
     scalar_log.close()
     tb.close()
 
@@ -181,6 +182,10 @@ def parse_args(argv):
     parser.add_argument("--prune_final_sparsity", type=float, default=0.9)
     parser.add_argument("--prune_end_epoch", type=int, default=5)
     parser.add_argument("--prune_frequency", type=int, default=100)
+    parser.add_argument("--profile", type=str, default="False",
+                        help="trace one train step (step 3) with "
+                             "jax.profiler into <log_dir>/profile — the "
+                             "reference's TensorBoard profile_batch=3")
     parser.add_argument("--bn_recalibrate", type=int, default=0,
                         help="after training, replace BatchNorm EMA stats "
                              "with arithmetic means over N train batches "
