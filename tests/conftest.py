@@ -10,3 +10,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# persistent compile cache: the suite is dominated by repeated XLA:CPU
+# compiles of the same model graphs — cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -21,15 +21,16 @@ def _count_params(variables):
     ("tiny_yolo", 2),
 ])
 def test_two_scale_shapes(name, nlayers):
+    # shape-only assertions: eval_shape traces without compiling/computing
     net = build_network(name, IN_HW, anchor_num=3, class_num=20, alpha=0.75)
-    variables = net.init(jax.random.PRNGKey(0))
-    x = jnp.zeros((2, *IN_HW, 3), jnp.float32)
-    raw = net.apply_raw(variables, x)
+    variables = jax.eval_shape(net.init, jax.random.PRNGKey(0))
+    x = jax.ShapeDtypeStruct((2, *IN_HW, 3), jnp.float32)
+    raw = jax.eval_shape(net.apply_raw, variables, x)
     assert len(raw) == nlayers
     # layer 0 coarsest (7x10), layer 1 finer (14x20) @ 224x320 (yolonet.py:40-41)
     assert raw[0].shape == (2, 7, 10, 75)
     assert raw[1].shape == (2, 14, 20, 75)
-    wrapped = net.apply(variables, x)
+    wrapped = jax.eval_shape(net.apply, variables, x)
     assert wrapped[0].shape == (2, 7, 10, 3, 25)
     assert wrapped[1].shape == (2, 14, 20, 3, 25)
 
@@ -58,7 +59,7 @@ def test_mobilenet_v1_k210_block1_mod():
     """Block-1 pointwise: 40 if alpha==1 else 64 (keras_mobilenet.py:217)."""
     for alpha, want in [(1.0, 40), (0.75, int(64 * 0.75)), (0.5, 32)]:
         net = build_network("yolo_mobilev1", IN_HW, 3, 20, alpha=alpha)
-        v = net.init(jax.random.PRNGKey(0))
+        v = jax.eval_shape(net.init, jax.random.PRNGKey(0))
         k = v["params"]["backbone"]["block_1"]["pw"]["conv"]["kernel"]
         assert k.shape[-1] == want, (alpha, k.shape)
 
@@ -67,14 +68,14 @@ def test_mobilenet_v2_k210_expand_mods():
     """Blocks 1/2 expansion clamped to 48/124 when alpha > .6, stem fixed 32
     (keras_mobilenet_v2.py:313, 329-331)."""
     net = build_network("yolo_mobilev2", IN_HW, 3, 20, alpha=1.0)
-    v = net.init(jax.random.PRNGKey(0))
+    v = jax.eval_shape(net.init, jax.random.PRNGKey(0))
     p = v["params"]["backbone"]
     assert p["stem"]["conv"]["kernel"].shape[-1] == 32
     assert p["block_1"]["expand"]["conv"]["kernel"].shape[-1] == 48
     assert p["block_2"]["expand"]["conv"]["kernel"].shape[-1] == 124
     # alpha=0.5: no override; block_1 expands 6 * in_channels
     net = build_network("yolo_mobilev2", IN_HW, 3, 20, alpha=0.5)
-    v = net.init(jax.random.PRNGKey(1))
+    v = jax.eval_shape(net.init, jax.random.PRNGKey(1))
     p = v["params"]["backbone"]
     in_ch = p["block_0"]["project"]["conv"]["kernel"].shape[-1]
     assert p["block_1"]["expand"]["conv"]["kernel"].shape[-1] == 6 * in_ch
@@ -85,7 +86,7 @@ def test_head_width_rules():
     alpha>0.7 else 192 (yolonet.py:87, 95)."""
     def y1_width(name, alpha):
         net = build_network(name, IN_HW, 3, 20, alpha=alpha)
-        v = net.init(jax.random.PRNGKey(0))
+        v = jax.eval_shape(net.init, jax.random.PRNGKey(0))
         return v["params"]["head"]["y1_conv"]["dark_conv_bn"]["conv"]["kernel"].shape[-1]
 
     assert y1_width("yolo_mobilev1", 1.0) == 128
