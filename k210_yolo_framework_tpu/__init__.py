@@ -13,8 +13,14 @@ Layout:
     data        annotation format + input pipeline
     anchors     kmeans anchor generation (1-IoU distance)
     parallel    device mesh + sharding rules
+    inference   Predictor (single image, batched, mesh-sharded serving)
+    eval        VOC mAP harness
+    export      StableHLO / weights artifacts
+    native      ctypes bindings for the C++ loader + region layer (csrc/)
+    compat      reference-compatible ``Helper`` migration facade
+    port        reference Keras .h5 -> flax pytree weight porting
 """
 
 __version__ = "0.1.0"
 
-from k210_yolo_framework_tpu.config import YoloSpec  # noqa: F401
+from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec  # noqa: F401

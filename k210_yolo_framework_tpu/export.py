@@ -42,6 +42,50 @@ def export_stablehlo(net: YoloNet, variables: Dict, batch: int = 1) -> bytes:
     return exported.serialize()
 
 
+def export_serving_stablehlo(predictor, batch: int = 1,
+                             canvas_hw=None) -> bytes:
+    """Serialize the FULL serving program — uint8 frames in, NMS'd boxes out
+    (letterbox + conv stack + decode + per-class NMS) — as StableHLO.
+
+    This is the framework's analogue of the reference's flashed kmodel + C
+    region layer (SURVEY.md §7 step 9): one deployable artifact that covers
+    the whole device story.  Uses the XLA NMS path (the Pallas kernel is a
+    platform-specific custom call and would pin the artifact to one TPU
+    generation).
+    """
+    import jax
+    from jax import export as jexport
+
+    from k210_yolo_framework_tpu.ops import decode as D
+    from k210_yolo_framework_tpu.ops import letterbox as LB
+    from k210_yolo_framework_tpu.ops import nms as N
+
+    spec = predictor.spec
+    canvas_hw = canvas_hw or spec.in_hw
+    net, variables = predictor.net, predictor.variables
+
+    def serve(canvases_u8, img_hws):
+        def one(canvas, hw):
+            img = LB.letterbox_image(canvas, hw, spec.in_hw,
+                                     dtype=predictor.compute_dtype)
+            return LB.normalize_image(img).astype(predictor.compute_dtype)
+
+        imgs = jax.vmap(one)(canvases_u8, img_hws)
+        preds = net.apply(variables, imgs)
+
+        def decode_one(pred_list, hw):
+            return D.decode_outputs(pred_list, spec, hw, predictor.class_softmax)
+
+        boxes, scores = jax.vmap(decode_one)(preds, img_hws)
+        return tuple(N.batched_nms(boxes, scores, predictor.obj_thresh,
+                                   predictor.iou_thresh, predictor.max_out))
+
+    c_spec = jax.ShapeDtypeStruct((batch, canvas_hw[0], canvas_hw[1], 3), jnp.uint8)
+    hw_spec = jax.ShapeDtypeStruct((batch, 2), jnp.int32)
+    exported = jexport.export(jax.jit(serve))(c_spec, hw_spec)
+    return exported.serialize()
+
+
 def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
            batch: int = 1) -> Dict[str, str]:
     """Write all export artifacts; returns {artifact: path}."""
@@ -50,6 +94,11 @@ def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
 
     hlo_path = out / "yolo_model.stablehlo"
     hlo_path.write_bytes(export_stablehlo(net, variables, batch))
+
+    from k210_yolo_framework_tpu.inference import Predictor
+    serving_path = out / "yolo_serving.stablehlo"
+    serving_path.write_bytes(export_serving_stablehlo(
+        Predictor(net, variables, spec), batch=batch))
 
     h5_path = out / "yolo_model.h5"
     CK.save_h5(str(h5_path), variables)
@@ -60,4 +109,5 @@ def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
         print(f"Model Outputs Node: l{l + 1}/raw:0",
               (batch, hw[0], hw[1], spec.nanchors * spec.nchannels), "float32")
 
-    return {"stablehlo": str(hlo_path), "h5": str(h5_path)}
+    return {"stablehlo": str(hlo_path), "serving": str(serving_path),
+            "h5": str(h5_path)}

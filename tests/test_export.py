@@ -38,6 +38,43 @@ def test_stablehlo_roundtrip_executes():
         np.testing.assert_allclose(np.asarray(o), np.asarray(w), rtol=1e-6)
 
 
+def test_serving_stablehlo_roundtrip():
+    """The uint8-in/boxes-out serving program exports and replays."""
+    from k210_yolo_framework_tpu.export import export_serving_stablehlo
+    from k210_yolo_framework_tpu.inference import Predictor
+
+    spec = _tiny_spec()
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.5)
+    variables = net.init(jax.random.PRNGKey(0))
+    pred = Predictor(net, variables, spec, obj_thresh=0.05,
+                     compute_dtype=jnp.float32)
+    blob = export_serving_stablehlo(pred, batch=2)
+
+    from jax import export as jexport
+    restored = jexport.deserialize(bytearray(blob))
+    rng = np.random.default_rng(0)
+    canv = jnp.asarray(rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8))
+    hws = jnp.asarray(np.tile([80, 96], (2, 1)).astype(np.int32))
+    boxes, scores, classes, valid = restored.call(canv, hws)
+    # reference result from the same (XLA-NMS) math the artifact embeds;
+    # the live Predictor's Pallas kernel NMSes the full candidate set while
+    # the portable artifact top-64-prefilters, so compare like with like.
+    from k210_yolo_framework_tpu.export import export_serving_stablehlo as _  # noqa
+    from k210_yolo_framework_tpu.ops import decode as D, letterbox as LB, nms as N
+    def one(canvas, hw):
+        img = LB.letterbox_image(canvas, hw, spec.in_hw, dtype=jnp.float32)
+        return LB.normalize_image(img)
+    imgs = jax.vmap(one)(canv, hws)
+    preds = net.apply(pred.variables, imgs)
+    b, s = jax.vmap(lambda p0, p1, hw: D.decode_outputs([p0, p1], spec, hw, False))(
+        preds[0], preds[1], hws)
+    want = N.batched_nms(b, s, 0.05, pred.iou_thresh, pred.max_out)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(want.valid))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(want.scores),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("name,layers", [("yolo_mobilev1", 2),
                                          ("yolo_mobilev2", 2),
                                          ("tiny_yolo", 2),
