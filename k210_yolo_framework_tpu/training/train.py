@@ -264,11 +264,14 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                         jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
                         jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
                     pr, vlogs = eval_step(state.params, state.batch_stats, pr, images, labels)
-                log_fn(f"epoch {epoch + 1} done in {dt:.1f}s  "
+                rate = train_epoch_step * cfg.batch_size / max(dt, 1e-9)
+                log_fn(f"epoch {epoch + 1} done in {dt:.1f}s ({rate:.0f} img/s)  "
                        f"val_loss {float(vlogs['val_loss']):.4f} "
                        f"val_p {float(vlogs['val_p']):.4f} val_r {float(vlogs['val_r']):.4f}")
             else:
-                log_fn(f"epoch {epoch + 1} done in {dt:.1f}s loss {float(logs['loss']):.4f}")
+                rate = train_epoch_step * cfg.batch_size / max(dt, 1e-9)
+                log_fn(f"epoch {epoch + 1} done in {dt:.1f}s ({rate:.0f} img/s) "
+                       f"loss {float(logs['loss']):.4f}")
     except KeyboardInterrupt:
         log_fn("interrupted — saving current weights (keras_train.py:99-100 behavior)")
     finally:
