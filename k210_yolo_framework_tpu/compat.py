@@ -38,8 +38,11 @@ class Helper:
                  out_hw, validation_split: float = 0.1):
         self.class_num = class_num
         self.validation_split = validation_split
-        out_hws = (tuple(out_hw[0]), tuple(out_hw[1])) if np.ndim(out_hw) == 2 \
-            else tuple(zip(out_hw[0::2], out_hw[1::2]))
+        if np.ndim(out_hw) == 2:  # [[h, w], ...] — any number of layers
+            out_hws = tuple(tuple(int(v) for v in row) for row in np.asarray(out_hw))
+        else:  # flat [h0, w0, h1, w1, ...]
+            flat = [int(v) for v in np.asarray(out_hw).ravel()]
+            out_hws = tuple(zip(flat[0::2], flat[1::2]))
         if anchors is not None:
             self.spec = YoloSpec.from_files(anchors, in_hw=tuple(in_hw),
                                             out_hws=tuple(out_hws),
@@ -100,7 +103,14 @@ class Helper:
                     jnp.asarray(boxes), hw, self.in_hw))
         if is_training:
             from k210_yolo_framework_tpu.ops import augment as A
-            rng = jax.random.PRNGKey(0) if rng is None else rng
+            if rng is None:
+                # fresh key per call — the reference randomized through
+                # imgaug's global RNG; a constant key here would silently
+                # apply ONE fixed transform to every image
+                if not hasattr(self, "_aug_key"):
+                    self._aug_key = jax.random.PRNGKey(
+                        int(np.random.SeedSequence().entropy % (2 ** 31)))
+                self._aug_key, rng = jax.random.split(self._aug_key)
             padded, valid = C.pad_boxes(boxes if boxes is not None
                                         else np.zeros((0, 5), np.float32))
             out, padded, valid = A.augment_image_and_boxes(

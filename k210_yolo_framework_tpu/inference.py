@@ -76,20 +76,24 @@ class Predictor:
         img = LB.letterbox_image(img_u8, img_hw, self.spec.in_hw)
         img = LB.normalize_image(img).astype(self.compute_dtype)
         preds = self.net.apply(variables, img[None])
-        boxes, scores = D.decode_outputs([p[0] for p in preds], self.spec,
-                                         img_hw, self.class_softmax)
-        return N.per_class_nms(boxes, scores, self.obj_thresh, self.iou_thresh,
-                               self.max_out)
+        # same fused full-candidate-set NMS as the batch path (the XLA
+        # per_class_nms top-k prefilter would silently truncate when a low
+        # obj_thresh leaves >64 candidates per class, e.g. during mAP eval)
+        from k210_yolo_framework_tpu.ops.yolo_head_pallas import fused_decode_nms
+        return fused_decode_nms([p.astype(jnp.float32) for p in preds],
+                                self.spec, img_hw[None], self.obj_thresh,
+                                self.iou_thresh, self.max_out,
+                                self.class_softmax)
 
     def predict_image(self, img: np.ndarray) -> Detections:
         """img: [h, w, 3] uint8 original image."""
         hw = jnp.asarray(img.shape[:2], jnp.int32)
         res = self._run_single(self.variables, jnp.asarray(img), hw)
-        valid = np.asarray(res.valid)
+        valid = np.asarray(res.valid[0])
         return Detections(
-            boxes=np.asarray(res.boxes)[valid],
-            scores=np.asarray(res.scores)[valid],
-            classes=np.asarray(res.classes)[valid],
+            boxes=np.asarray(res.boxes[0])[valid],
+            scores=np.asarray(res.scores[0])[valid],
+            classes=np.asarray(res.classes[0])[valid],
         )
 
     # ---- batched serving path (fixed canvas, one compile) -----------------

@@ -36,10 +36,14 @@ def _inverse_affine_sample(img: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear-resample ``img`` [H, W, C] through inverse affine ``inv``
     (3x3, maps output (x, y, 1) -> input (x, y, 1)); zero fill outside."""
     h, w = img.shape[0], img.shape[1]
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
-    sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+    # pixel-CENTER convention: index i covers continuous coordinate i + 0.5,
+    # so the continuous-space affine applies to (x + .5, y + .5) and the
+    # result maps back to index space with -0.5.  This keeps the image warp
+    # exactly consistent with the box corner transform (same matrix).
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2] - 0.5
+    sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2] - 0.5
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
@@ -63,7 +67,12 @@ def _inverse_affine_sample(img: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
 
 
 def _branch_matrices(key: jax.Array, img_hw: Tuple[int, int]):
-    """Forward 3x3 affine (pixel coords) for each OneOf branch + selector."""
+    """Forward 3x3 affine for each OneOf branch + selector.
+
+    Matrices live in CONTINUOUS image coordinates (pixel i spans [i, i+1),
+    center i+0.5) — the imgaug convention — so the identical matrix moves
+    both the resampling grid and the box corners; a mirror is x' = w - x
+    and rotation pivots about (w/2, h/2)."""
     h, w = img_hw
     k_branch, k_flip, k_rot, k_tx, k_ty = jax.random.split(key, 5)
     branch = jax.random.randint(k_branch, (), 0, 3)
@@ -72,13 +81,13 @@ def _branch_matrices(key: jax.Array, img_hw: Tuple[int, int]):
 
     # Fliplr(0.5): mirror columns with prob 0.5 (utils.py:85).
     do_flip = jax.random.bernoulli(k_flip, 0.5)
-    flip = jnp.asarray([[-1.0, 0.0, w - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+    flip = jnp.asarray([[-1.0, 0.0, float(w)], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
     m0 = jnp.where(do_flip, flip, eye)
 
     # Affine(rotate U(-10, 10) deg) about the image center (utils.py:86).
     theta = jnp.deg2rad(jax.random.uniform(k_rot, (), minval=-10.0, maxval=10.0))
     c, s = jnp.cos(theta), jnp.sin(theta)
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cx, cy = w / 2.0, h / 2.0
     m1 = jnp.asarray(
         [[c, -s, cx - c * cx + s * cy],
          [s, c, cy - s * cx - c * cy],

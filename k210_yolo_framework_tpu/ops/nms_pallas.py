@@ -43,19 +43,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _nms_kernel(boxes_ref, scores_ref, out_boxes_ref, out_scores_ref,
-                *, n: int, max_out: int, iou_thresh: float):
-    """One image: boxes_ref [1, 4, Np], scores_ref [1, Cp, Np],
-    out_boxes_ref [1, 4, Cp, So], out_scores_ref [1, Cp, So]."""
-    y0 = boxes_ref[0, 0:1, :]                     # [1, Np]
-    x0 = boxes_ref[0, 1:2, :]
-    y1 = boxes_ref[0, 2:3, :]
-    x1 = boxes_ref[0, 3:4, :]
-    area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+def greedy_select_loop(scores, y0, x0, y1, x1,
+                       out_boxes_ref, out_scores_ref,
+                       max_out: int, iou_thresh: float):
+    """The in-VMEM greedy NMS selection loop shared by the NMS-only kernel
+    and the fused decode+NMS kernel (ops/yolo_head_pallas.py).
 
-    scores = scores_ref[0]                        # [Cp, Np]
+    scores [Cp, Np] (already padding-masked to _NEG); y0/x0/y1/x1 broadcast
+    against it ([1, Np] or [Cp, Np]); writes the k-th winner per class into
+    out_boxes_ref [1, 4, Cp, So] / out_scores_ref [1, Cp, So].  ``max_out``
+    steps are unrolled at trace time: each is a lane-max, a first-index-of-
+    max mask, masked broadcasts to extract the winner, one IoU row, and a
+    suppression select — pure VPU work, no gathers/sorts.
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(lane < n, scores, _NEG)    # mask lane padding
+    area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
 
     for k in range(max_out):
         m = jnp.max(scores, axis=1, keepdims=True)                    # [Cp, 1]
@@ -63,7 +65,7 @@ def _nms_kernel(boxes_ref, scores_ref, out_boxes_ref, out_scores_ref,
                       axis=1, keepdims=True)                          # [Cp, 1]
         is_sel = lane == sel                                          # [Cp, Np]
 
-        def pick(row):  # [1, Np] -> [Cp, 1] winning coordinate per class
+        def pick(row):  # -> [Cp, 1] winning coordinate per class
             return jnp.max(jnp.where(is_sel, row, _NEG), axis=1, keepdims=True)
 
         sy0, sx0, sy1, sx1 = pick(y0), pick(x0), pick(y1), pick(x1)
@@ -82,6 +84,23 @@ def _nms_kernel(boxes_ref, scores_ref, out_boxes_ref, out_scores_ref,
         union = s_area + area - inter
         iou = jnp.where(union > 0, inter / union, 0.0)
         scores = jnp.where((iou > iou_thresh) | is_sel, _NEG, scores)
+
+
+def _nms_kernel(boxes_ref, scores_ref, out_boxes_ref, out_scores_ref,
+                *, n: int, max_out: int, iou_thresh: float):
+    """One image: boxes_ref [1, 4, Np], scores_ref [1, Cp, Np],
+    out_boxes_ref [1, 4, Cp, So], out_scores_ref [1, Cp, So]."""
+    y0 = boxes_ref[0, 0:1, :]                     # [1, Np]
+    x0 = boxes_ref[0, 1:2, :]
+    y1 = boxes_ref[0, 2:3, :]
+    x1 = boxes_ref[0, 3:4, :]
+
+    scores = scores_ref[0]                        # [Cp, Np]
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(lane < n, scores, _NEG)    # mask lane padding
+
+    greedy_select_loop(scores, y0, x0, y1, x1, out_boxes_ref, out_scores_ref,
+                       max_out, iou_thresh)
 
 
 def batched_nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,

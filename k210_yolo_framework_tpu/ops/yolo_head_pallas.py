@@ -35,15 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from k210_yolo_framework_tpu.config import YoloSpec
 from k210_yolo_framework_tpu.ops.nms import NmsResult
+from k210_yolo_framework_tpu.ops.nms_pallas import _round_up, greedy_select_loop
 
 __all__ = ["candidate_geometry", "letterbox_inverse_params",
            "fused_decode_nms"]
 
 _NEG = -1e9
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def candidate_geometry(spec: YoloSpec) -> np.ndarray:
@@ -108,7 +105,6 @@ def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
     x0 = (ox - ow * 0.5) * iw
     y1 = (oy + oh * 0.5) * ih
     x1 = (ox + ow * 0.5) * iw
-    area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
 
     conf = jax.nn.sigmoid(p[4:5])                     # [1, Np]
     cls_logits = p[5:5 + cp]                          # [Cp, Np] (rows >= C pad)
@@ -122,31 +118,8 @@ def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
         scores = jax.nn.sigmoid(cls_logits) * conf
     scores = jnp.where(in_range & real_cls, scores, _NEG)
 
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    for k in range(max_out):
-        m = jnp.max(scores, axis=1, keepdims=True)                   # [C, 1]
-        sel = jnp.min(jnp.where(scores == m, lane_c, jnp.int32(2**30)),
-                      axis=1, keepdims=True)
-        is_sel = lane_c == sel                                       # [C, Np]
-
-        def pick(row):
-            return jnp.max(jnp.where(is_sel, row, _NEG), axis=1, keepdims=True)
-
-        sy0, sx0, sy1, sx1 = pick(y0), pick(x0), pick(y1), pick(x1)
-        s_area = jnp.maximum(sy1 - sy0, 0.0) * jnp.maximum(sx1 - sx0, 0.0)
-
-        out_scores_ref[0, :, k:k + 1] = m
-        out_boxes_ref[0, 0, :, k:k + 1] = sy0
-        out_boxes_ref[0, 1, :, k:k + 1] = sx0
-        out_boxes_ref[0, 2, :, k:k + 1] = sy1
-        out_boxes_ref[0, 3, :, k:k + 1] = sx1
-
-        iy = jnp.maximum(jnp.minimum(sy1, y1) - jnp.maximum(sy0, y0), 0.0)
-        ix = jnp.maximum(jnp.minimum(sx1, x1) - jnp.maximum(sx0, x0), 0.0)
-        inter = iy * ix
-        union = s_area + area - inter
-        iou = jnp.where(union > 0, inter / union, 0.0)
-        scores = jnp.where((iou > iou_thresh) | is_sel, _NEG, scores)
+    greedy_select_loop(scores, y0, x0, y1, x1, out_boxes_ref, out_scores_ref,
+                       max_out, iou_thresh)
 
 
 def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,

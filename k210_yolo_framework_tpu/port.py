@@ -107,9 +107,10 @@ def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],
 
     ``allow_missing=True`` skips absent layers (e.g. backbone-only files
     like ``mobilenet_v1_base_7.h5``, which carry no head weights).
-    Returns new variables plus the ported/missing layer lists as attributes
-    on the dict (keys ``__ported__`` / ``__missing__`` are NOT added; use
-    the returned tuple instead).
+
+    Returns ``(variables, missing)`` — the layer names NOT found in the
+    file, so a partially-ported model (head left at init) is visible to
+    the caller instead of silently producing garbage decodes.
     """
     import h5py
     import jax
@@ -146,4 +147,4 @@ def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],
                 _set_leaf(out[coll], f"{module_path}/{leaf}", arr)
     if missing and not allow_missing:
         raise KeyError(f"layers missing from {h5_path}: {missing}")
-    return out
+    return out, missing

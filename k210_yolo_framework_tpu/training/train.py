@@ -203,16 +203,25 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
         state = create_train_state(net, cfg, rng)
     if mesh is not None:
         state = shard_state(state, mesh)
-    # SIGTERM behaves like the reference's Ctrl-C (save instead of losing the
-    # run) — batch schedulers send SIGTERM on preemption.
+    # Ctrl-C / SIGTERM save the run instead of losing it (reference behavior,
+    # keras_train.py:95-100; schedulers send SIGTERM on preemption).  The
+    # train step DONATES the state buffers, so raising mid-call would leave
+    # `state` pointing at deleted arrays and crash the very save this exists
+    # for — handlers therefore only set a flag, checked at step boundaries
+    # where the state is whole.
     import signal
 
-    def _term(_sig, _frm):
-        raise KeyboardInterrupt
-    try:
-        prev_term = signal.signal(signal.SIGTERM, _term)
-    except ValueError:  # not the main thread
-        prev_term = None
+    stop_requested = {"flag": False}
+
+    def _request_stop(_sig, _frm):
+        stop_requested["flag"] = True
+
+    prev_handlers = []
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers.append((sig, signal.signal(sig, _request_stop)))
+        except ValueError:  # not the main thread
+            pass
     train_step = make_train_step(net, spec, cfg, train_epoch_step)
     eval_step = make_eval_step(net, spec, cfg)
     data_rng = jax.random.PRNGKey(cfg.rand_seed)
@@ -252,11 +261,13 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                     log_fn(f"epoch {epoch + 1}/{cfg.max_epochs} step {i + 1}/{train_epoch_step} "
                            f"loss {float(logs['loss']):.4f} p {float(logs['p']):.4f} "
                            f"r {float(logs['r']):.4f}")
+                if stop_requested["flag"]:
+                    raise KeyboardInterrupt
             dt = time.time() - t0
 
             if test_batches is not None and test_epoch_step > 0:
                 pr = M.init_pr_state()
-                vlogs = {}
+                vloss_sum, vlogs = 0.0, {}
                 for _ in range(test_epoch_step):
                     hb = next(test_batches)
                     data_rng, k = jax.random.split(data_rng)
@@ -264,18 +275,21 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                         jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
                         jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
                     pr, vlogs = eval_step(state.params, state.batch_stats, pr, images, labels)
+                    vloss_sum += float(vlogs["val_loss"])
                 rate = train_epoch_step * cfg.batch_size / max(dt, 1e-9)
                 log_fn(f"epoch {epoch + 1} done in {dt:.1f}s ({rate:.0f} img/s)  "
-                       f"val_loss {float(vlogs['val_loss']):.4f} "
+                       f"val_loss {vloss_sum / test_epoch_step:.4f} "
                        f"val_p {float(vlogs['val_p']):.4f} val_r {float(vlogs['val_r']):.4f}")
             else:
                 rate = train_epoch_step * cfg.batch_size / max(dt, 1e-9)
                 log_fn(f"epoch {epoch + 1} done in {dt:.1f}s ({rate:.0f} img/s) "
                        f"loss {float(logs['loss']):.4f}")
+            if stop_requested["flag"]:
+                raise KeyboardInterrupt
     except KeyboardInterrupt:
         log_fn("interrupted — saving current weights (keras_train.py:99-100 behavior)")
     finally:
-        if prev_term is not None:
-            signal.signal(signal.SIGTERM, prev_term)
+        for sig, prev in prev_handlers:
+            signal.signal(sig, prev)
 
     return state

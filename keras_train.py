@@ -90,8 +90,11 @@ def main(args):
                 loaded = CK.load_h5(args.pre_ckpt, template)
             else:  # reference Keras layout (model_weights/<layer>/...)
                 from k210_yolo_framework_tpu.port import port_reference_h5
-                loaded = port_reference_h5(args.pre_ckpt, args.model_def, template)
-                print(NOTE, f"ported reference Keras weights from {args.pre_ckpt}")
+                loaded, missing = port_reference_h5(args.pre_ckpt, args.model_def,
+                                                    template)
+                print(NOTE, f"ported reference Keras weights from {args.pre_ckpt}"
+                      + (f" ({len(missing)} layers absent, left at init: "
+                         f"{missing[:4]}...)" if missing else ""))
             state = state.replace(params=loaded["params"],
                                   batch_stats=loaded["batch_stats"])
         else:

@@ -15,16 +15,31 @@ def _img(h=32, w=48):
 
 def test_flip_branch_mirrors_image_and_boxes():
     img = _img()
-    fwd = jnp.asarray([[-1.0, 0, img.shape[1] - 1.0], [0, 1, 0], [0, 0, 1]])
+    # continuous-coordinate mirror x' = w - x (imgaug convention): lands
+    # exactly on pixel centers, so the warp must equal an index flip
+    fwd = jnp.asarray([[-1.0, 0, float(img.shape[1])], [0, 1, 0], [0, 0, 1]])
     out = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
     np.testing.assert_allclose(np.asarray(out), np.asarray(img)[:, ::-1], atol=1e-3)
 
     boxes = jnp.asarray([[0, 0.25, 0.5, 0.2, 0.4]], jnp.float32)
     nb, nv = A._affine_boxes(boxes, jnp.asarray([True]), fwd, (32, 48))
     assert bool(nv[0])
-    # x' = 1 - x up to the (w-1)/w pixel-center offset used by imgaug-style flips
-    assert abs(float(nb[0, 1]) - (1 - 0.25)) < 0.05
+    # boxes ride the SAME matrix: x' = 1 - x exactly
+    np.testing.assert_allclose(float(nb[0, 1]), 1 - 0.25, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(nb[0, 3:5]), [0.2, 0.4], atol=1e-5)
+
+
+def test_flip_edge_box_stays_in_image():
+    """A box touching the left edge must mirror to touch the right edge
+    exactly (the old index-space matrix shifted it 1px out)."""
+    w, h = 48, 32
+    fwd = jnp.asarray([[-1.0, 0, float(w)], [0, 1, 0], [0, 0, 1]])
+    boxes = jnp.asarray([[0, 4 / w, 0.5, 8 / w, 0.5]], jnp.float32)  # x0 = 0
+    nb, nv = A._affine_boxes(boxes, jnp.asarray([True]), fwd, (h, w))
+    assert bool(nv[0])
+    x1 = float(nb[0, 1]) + float(nb[0, 3]) / 2
+    np.testing.assert_allclose(x1, 1.0, rtol=1e-6)  # touches right edge
+    np.testing.assert_allclose(float(nb[0, 3]), 8 / w, rtol=1e-6)  # width kept
 
 
 def test_identity_affine_is_noop():

@@ -51,7 +51,8 @@ def test_port_full_model(tmp_path):
     path = str(tmp_path / "ref.h5")
     const = _write_keras_h5(path, template, table)
 
-    out = port_reference_h5(path, "yolo_mobilev1", template)
+    out, missing = port_reference_h5(path, "yolo_mobilev1", template)
+    assert missing == []
     for (coll, leafpath), want in const.items():
         got = _leaf(out[coll], leafpath)
         assert np.all(got == want), (coll, leafpath)
@@ -69,7 +70,8 @@ def test_port_backbone_only(tmp_path):
     path = str(tmp_path / "base.h5")
     const = _write_keras_h5(path, template, table, wrap_model_weights=False)
 
-    out = port_reference_h5(path, "yolo_mobilev1", template, allow_missing=True)
+    out, missing = port_reference_h5(path, "yolo_mobilev1", template, allow_missing=True)
+    assert len(missing) == 8  # the head layers
     for (coll, leafpath), want in const.items():
         assert np.all(_leaf(out[coll], leafpath) == want)
     # head untouched = template values
