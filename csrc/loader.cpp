@@ -56,6 +56,10 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 bool decode_jpeg(FILE* f, int max_h, int max_w, Image* out) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
+  // declared BEFORE setjmp: a longjmp from mid-decode returns through the
+  // normal path below, so these are destroyed normally (no leaked buffers,
+  // no UB from jumping over non-trivial initialization)
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jmp)) {
@@ -82,7 +86,7 @@ bool decode_jpeg(FILE* f, int max_h, int max_w, Image* out) {
   out->w = cinfo.output_width;
   const int ch = cinfo.output_components;  // 3 (JCS_RGB)
   out->rgb.resize((size_t)out->h * out->w * 3);
-  std::vector<uint8_t> row((size_t)out->w * ch);
+  row.resize((size_t)out->w * ch);
   for (int y = 0; y < out->h; ++y) {
     uint8_t* rp = row.data();
     jpeg_read_scanlines(&cinfo, &rp, 1);
@@ -109,6 +113,7 @@ bool decode_png(FILE* f, Image* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  std::vector<png_bytep> rows;  // before setjmp: destroyed on the error return
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -124,7 +129,7 @@ bool decode_png(FILE* f, Image* out) {
   out->h = png_get_image_height(png, info);
   out->w = png_get_image_width(png, info);
   out->rgb.resize((size_t)out->h * out->w * 3);
-  std::vector<png_bytep> rows(out->h);
+  rows.resize(out->h);
   for (int y = 0; y < out->h; ++y)
     rows[y] = out->rgb.data() + (size_t)y * out->w * 3;
   png_read_image(png, rows.data());
@@ -258,11 +263,12 @@ struct Loader {
       Image img;
       if (decode_any(paths[idx].c_str(), canvas_h, canvas_w, &img)) {
         stage_into_canvas(img, canvas_h, canvas_w, canvas, hw);
-      } else {  // unreadable file -> zero canvas, 1x1 (caller sees index)
+        b.indices[pos] = idx;
+      } else {  // unreadable file: zero canvas + index -1 = explicit error
         std::memset(canvas, 0, (size_t)canvas_h * canvas_w * 3);
-        hw[0] = hw[1] = 1;
+        hw[0] = hw[1] = 0;
+        b.indices[pos] = -(idx + 1);  // caller recovers idx and raises
       }
-      b.indices[pos] = idx;
       if (b.remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(mu);
         ready.push_back(slot);

@@ -65,7 +65,10 @@ int yl_region_layer_run(const float* const* preds, const int32_t* grid_hw,
   // letterbox-inverse factors (keras_inference.py:32-72; note the reference
   // ROUNDS the resized shape here even though the forward pad truncates)
   const float scale = std::min((float)in_w / img_w, (float)in_h / img_h);
-  const float new_w = std::round(img_w * scale), new_h = std::round(img_h * scale);
+  // clamp: a degenerate aspect ratio can round the resized extent to 0,
+  // which would divide to inf and emit NaN "detections"
+  const float new_w = std::max(1.0f, std::round(img_w * scale));
+  const float new_h = std::max(1.0f, std::round(img_h * scale));
   const float off_x = (in_w - new_w) / 2.0f / in_w;   // normalized offsets
   const float off_y = (in_h - new_h) / 2.0f / in_h;
   const float sx = (float)in_w / new_w, sy = (float)in_h / new_h;
@@ -83,6 +86,11 @@ int yl_region_layer_run(const float* const* preds, const int32_t* grid_hw,
           const float* e =
               p + (((size_t)gy * gw + gx) * anchors + a) * stride_a;
           const float conf = sigmoidf(e[4]);
+          // objectness gate: cls_prob <= 1, so score = cls_prob * conf can
+          // never reach obj_thresh when conf is already below it — skipping
+          // here is lossless and avoids ~n_classes transcendentals per cell
+          // (the firmware gates the same way, region_layer.c:195-210)
+          if (conf < obj_thresh) continue;
           // decode to normalized net coords (tools/utils.py:524-547)
           float cx = (sigmoidf(e[0]) + gx) / gw;
           float cy = (sigmoidf(e[1]) + gy) / gh;

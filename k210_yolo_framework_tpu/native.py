@@ -47,9 +47,10 @@ def _lib(name: str) -> Optional[ctypes.CDLL]:
     with _lock:
         if name in _libs:
             return _libs[name]
+        # always run make (mtime no-op when current) so edits to csrc/
+        # cannot silently keep serving a stale binary
+        build()
         path = _NATIVE_DIR / f"lib{name}.so"
-        if not path.exists():
-            build()
         try:
             lib = ctypes.CDLL(str(path))
         except OSError:
@@ -98,6 +99,7 @@ class NativeLoader:
         self._lib = lib
         self.canvas_hw = canvas_hw
         self.batch_size = batch_size
+        self._paths = list(paths)
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         lib.yl_loader_create.restype = ctypes.c_void_p
         self._handle = lib.yl_loader_create(
@@ -124,6 +126,10 @@ class NativeLoader:
             idxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if rc != 0:
             raise RuntimeError("native loader stopped")
+        if (idxs < 0).any():  # decode failure: idx encoded as -(i+1)
+            bad = int(-(idxs[idxs < 0][0]) - 1)
+            raise IOError(f"native decode failed for sample index {bad} "
+                          f"({self._paths[bad]})")
         return canvases, hws, idxs
 
     def close(self):

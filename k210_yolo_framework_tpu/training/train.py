@@ -199,16 +199,13 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
     validation pass per epoch, Ctrl-C saves instead of crashing
     (keras_train.py:95-100).  Returns the final state (caller saves it).
     """
-    if state is None:
-        state = create_train_state(net, cfg, rng)
-    if mesh is not None:
-        state = shard_state(state, mesh)
     # Ctrl-C / SIGTERM save the run instead of losing it (reference behavior,
     # keras_train.py:95-100; schedulers send SIGTERM on preemption).  The
     # train step DONATES the state buffers, so raising mid-call would leave
     # `state` pointing at deleted arrays and crash the very save this exists
     # for — handlers therefore only set a flag, checked at step boundaries
-    # where the state is whole.
+    # where the state is whole.  Installed FIRST so a signal landing during
+    # the initial compile is already deferred.
     import signal
 
     stop_requested = {"flag": False}
@@ -222,6 +219,11 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
             prev_handlers.append((sig, signal.signal(sig, _request_stop)))
         except ValueError:  # not the main thread
             pass
+
+    if state is None:
+        state = create_train_state(net, cfg, rng)
+    if mesh is not None:
+        state = shard_state(state, mesh)
     train_step = make_train_step(net, spec, cfg, train_epoch_step)
     eval_step = make_eval_step(net, spec, cfg)
     data_rng = jax.random.PRNGKey(cfg.rand_seed)

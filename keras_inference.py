@@ -44,8 +44,11 @@ def main(args):
         variables = {"params": restored.params, "batch_stats": restored.batch_stats}
     print(INFO, f" Load CKPT {args.pre_ckpt}")
 
+    import jax.numpy as jnp
     pred = Predictor(net, variables, spec,
-                     obj_thresh=args.obj_thresh, iou_thresh=args.iou_thresh)
+                     obj_thresh=args.obj_thresh, iou_thresh=args.iou_thresh,
+                     compute_dtype=jnp.bfloat16 if str(args.bf16).lower() == "true"
+                     else None)
     img = read_image(args.test_image)
     det = pred.predict_image(img)
 
@@ -76,6 +79,9 @@ def parse_args(argv):
     parser.add_argument("--iou_thresh", type=float, default=0.3)
     parser.add_argument("--output", type=str, default=None,
                         help="output image path (new; headless replacement for .show())")
+    parser.add_argument("--bf16", type=str, default="False",
+                        help="bf16 conv compute (fast serving; default keeps "
+                             "exact fp32 reference numerics)")
     parser.add_argument("pre_ckpt", type=str)
     parser.add_argument("test_image", type=str)
     return parser.parse_args(argv)

@@ -63,6 +63,44 @@ def test_pipeline_native_path(synth_paths):
     assert b.valid.any()
 
 
+def test_decode_oversized_image_shrinks_to_fit(tmp_path):
+    """Exercises the JPEG DCT prescale + bilinear fit (loader.cpp decode_any):
+    a 700x900 image must land inside a 512x512 canvas with aspect kept."""
+    from PIL import Image
+    rng = np.random.default_rng(9)
+    big = rng.integers(0, 256, (700, 900, 3)).astype(np.uint8)
+    path = str(tmp_path / "big.jpg")
+    Image.fromarray(big).save(path, quality=92)
+
+    canvas, hw = native.decode_image(path, (512, 512))
+    s = min(512 / 700, 512 / 900)
+    assert tuple(hw) == (int(700 * s), int(900 * s))
+    assert hw[0] <= 512 and hw[1] <= 512
+    # content in-bounds, zero padding outside
+    assert canvas[:hw[0], :hw[1]].mean() > 50
+    assert np.all(canvas[hw[0]:] == 0) and np.all(canvas[:, hw[1]:] == 0)
+    # resample should roughly match PIL's bilinear shrink of the DECODED jpeg
+    dec = np.asarray(Image.open(path).convert("RGB"))
+    ref = np.asarray(Image.fromarray(dec).resize((int(hw[1]), int(hw[0])),
+                                                 Image.BILINEAR), dtype=np.int16)
+    got = canvas[:hw[0], :hw[1]].astype(np.int16)
+    assert np.mean(np.abs(got - ref)) < 30  # DCT prescale differs from direct bilinear
+
+
+def test_corrupt_file_raises(tmp_path):
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8\xff\xe0 this is not really a jpeg")
+    with pytest.raises(IOError):
+        native.decode_image(str(bad), (64, 64))
+    loader = native.NativeLoader([str(bad)], (64, 64), batch_size=1, seed=0,
+                                 num_workers=1, prefetch=1)
+    try:
+        with pytest.raises(IOError, match="bad.jpg"):
+            loader.next()
+    finally:
+        loader.close()
+
+
 @pytest.mark.parametrize("class_softmax", [False, True])
 def test_region_layer_matches_jax(class_softmax):
     """C++ decode+NMS == jnp decode + pallas NMS on random logits."""
