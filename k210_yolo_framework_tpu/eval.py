@@ -14,7 +14,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["voc_ap", "DetectionRecord", "match_detections", "evaluate_map"]
+__all__ = ["voc_ap", "DetectionRecord", "match_detections",
+           "match_detections_sweep", "collect_detections", "evaluate_map"]
 
 
 def voc_ap(recall: np.ndarray, precision: np.ndarray,
@@ -99,6 +100,19 @@ def match_detections(record: DetectionRecord, map_iou: float = 0.5,
     return {"ap": aps, "map": float(np.nanmean(aps)) if np.any(~np.isnan(aps)) else 0.0}
 
 
+def match_detections_sweep(record: DetectionRecord,
+                           ious: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+                           use_07_metric: bool = False) -> Dict[str, object]:
+    """COCO-style mAP@[.5:.95]: mean of the VOC matcher over an IoU sweep.
+
+    Beyond the reference's scope (it published no metrics at all); detections
+    are collected once, matching is re-run per threshold.
+    """
+    maps = [match_detections(record, float(t), use_07_metric)["map"] for t in ious]
+    return {"map_per_iou": dict(zip([round(float(t), 2) for t in ious], maps)),
+            "map": float(np.mean(maps))}
+
+
 def evaluate_map(predictor, ann_list: np.ndarray, class_num: int,
                  map_iou: float = 0.5, use_07_metric: bool = True,
                  batch_size: int = 32, canvas_hw: Tuple[int, int] = (512, 512),
@@ -109,6 +123,17 @@ def evaluate_map(predictor, ann_list: np.ndarray, class_num: int,
     and a larger max_out than serving defaults — AP integrates over the full
     precision/recall curve.
     """
+    record = collect_detections(predictor, ann_list, class_num,
+                                batch_size, canvas_hw, progress)
+    return match_detections(record, map_iou, use_07_metric)
+
+
+def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
+                       batch_size: int = 32,
+                       canvas_hw: Tuple[int, int] = (512, 512),
+                       progress=None) -> DetectionRecord:
+    """Batched inference over the dataset -> DetectionRecord (score once,
+    match at any IoU — see match_detections / match_detections_sweep)."""
     from k210_yolo_framework_tpu.data.annotations import read_image
     from k210_yolo_framework_tpu.data.pipeline import _stage_image
 
@@ -135,4 +160,4 @@ def evaluate_map(predictor, ann_list: np.ndarray, class_num: int,
                              gt_boxes, gt[:, 0].astype(int))
         if progress is not None:
             progress(min(start + batch_size, n), n)
-    return match_detections(record, map_iou, use_07_metric)
+    return record

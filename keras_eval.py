@@ -45,16 +45,23 @@ def main(args):
 
     pred = Predictor(net, variables, spec, obj_thresh=args.obj_thresh,
                      iou_thresh=args.iou_thresh, max_out=args.max_out,
-                     compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                     compute_dtype=jnp.bfloat16
+                     if str(args.bf16).lower() == "true" else jnp.float32)
     ann = load_ann_list(f"data/{args.train_set}_img_ann.npy")
     if args.limit:
         ann = ann[:args.limit]
 
-    res = evaluate_map(pred, ann, args.class_num, map_iou=args.map_iou,
-                       use_07_metric=not args.use_12_metric,
-                       batch_size=args.batch_size,
-                       progress=lambda d, t: print(f"\r eval {d}/{t}", end=""))
+    from k210_yolo_framework_tpu.eval import collect_detections, match_detections, \
+        match_detections_sweep
+    record = collect_detections(pred, ann, args.class_num,
+                                batch_size=args.batch_size,
+                                progress=lambda d, t: print(f"\r eval {d}/{t}", end=""))
     print()
+    res = match_detections(record, args.map_iou, not args.use_12_metric)
+    if args.coco:
+        sweep = match_detections_sweep(record)
+        print(NOTE, f"mAP@[.5:.95] = {sweep['map']:.4f}  "
+              + " ".join(f"{k}:{v:.3f}" for k, v in sweep["map_per_iou"].items()))
     labels = VOC_LABELS if args.class_num == len(VOC_LABELS) else [
         str(i) for i in range(args.class_num)]
     for c, ap in enumerate(res["ap"]):
@@ -82,7 +89,12 @@ def parse_args(argv):
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--use_12_metric", action="store_true",
                         help="all-points AP instead of VOC07 11-point")
-    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--coco", action="store_true",
+                        help="also report COCO-style mAP@[.5:.95]")
+    parser.add_argument("--bf16", type=str, default="False",
+                        help="bf16 conv compute; default fp32 keeps exact "
+                             "training-time numerics (bf16 can shift an "
+                             "overfit/borderline model's detections)")
     parser.add_argument("--limit", type=int, default=0)
     return parser.parse_args(argv)
 

@@ -64,6 +64,20 @@ def test_missed_gt_lowers_recall():
     np.testing.assert_allclose(res["map"], 0.5)
 
 
+def test_coco_sweep():
+    from k210_yolo_framework_tpu.eval import match_detections_sweep
+    rec = DetectionRecord(class_num=1)
+    gt = _box(0, 0, s=40)[None]
+    det = gt[0] + np.array([6.0, 6.0, 6.0, 6.0])  # shifted: IoU ~ 0.57
+    rec.add_image(0, det[None], np.array([0.9]), np.zeros(1, int),
+                  gt, np.zeros(1, int))
+    res = match_detections_sweep(rec)
+    per = res["map_per_iou"]
+    assert per[0.5] == 1.0        # matched at IoU .5
+    assert per[0.95] == 0.0       # unmatched at .95
+    assert 0.0 < res["map"] < 1.0
+
+
 def test_evaluate_map_with_gt_oracle(tmp_path):
     """Feed ground truth through a stub predictor -> mAP == 1."""
     from k210_yolo_framework_tpu.data.pipeline import synthetic_ann_list
