@@ -43,41 +43,39 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def greedy_select_loop(scores, y0, x0, y1, x1,
-                       out_boxes_ref, out_scores_ref,
+def greedy_select_loop(scores, y0, x0, y1, x1, store,
                        max_out: int, iou_thresh: float):
     """The in-VMEM greedy NMS selection loop shared by the NMS-only kernel
     and the fused decode+NMS kernel (ops/yolo_head_pallas.py).
 
-    scores [Cp, Np] (already padding-masked to _NEG); y0/x0/y1/x1 broadcast
-    against it ([1, Np] or [Cp, Np]); writes the k-th winner per class into
-    out_boxes_ref [1, 4, Cp, So] / out_scores_ref [1, Cp, So].  ``max_out``
-    steps are unrolled at trace time: each is a lane-max, a first-index-of-
-    max mask, masked broadcasts to extract the winner, one IoU row, and a
-    suppression select — pure VPU work, no gathers/sorts.
+    scores [..., Np] (already padding-masked to _NEG), one independent NMS
+    problem per leading-dims ROW (a row is one (image, class) pair — the
+    fused kernel stacks several images' class rows per program to amortize
+    the sequential chain); y0/x0/y1/x1 broadcast against it.
+    ``store(k, m, sy0, sx0, sy1, sx1)`` receives the k-th winner per row
+    ([R, 1] each).  ``max_out`` steps are unrolled at trace time: each is
+    a lane-max, a first-index-of-max mask, masked broadcasts to extract
+    the winner, one IoU row, and a suppression select — pure VPU work, no
+    gathers/sorts.
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
     area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
 
     for k in range(max_out):
-        m = jnp.max(scores, axis=1, keepdims=True)                    # [Cp, 1]
+        m = jnp.max(scores, axis=-1, keepdims=True)                   # [R, 1]
         sel = jnp.min(jnp.where(scores == m, lane, jnp.int32(2**30)),
-                      axis=1, keepdims=True)                          # [Cp, 1]
-        is_sel = lane == sel                                          # [Cp, Np]
+                      axis=-1, keepdims=True)                         # [R, 1]
+        is_sel = lane == sel                                          # [R, Np]
 
-        def pick(row):  # -> [Cp, 1] winning coordinate per class
-            return jnp.max(jnp.where(is_sel, row, _NEG), axis=1, keepdims=True)
+        def pick(row):  # -> [R, 1] winning coordinate per row
+            return jnp.max(jnp.where(is_sel, row, _NEG), axis=-1, keepdims=True)
 
         sy0, sx0, sy1, sx1 = pick(y0), pick(x0), pick(y1), pick(x1)
         s_area = jnp.maximum(sy1 - sy0, 0.0) * jnp.maximum(sx1 - sx0, 0.0)
 
-        out_scores_ref[0, :, k:k + 1] = m
-        out_boxes_ref[0, 0, :, k:k + 1] = sy0
-        out_boxes_ref[0, 1, :, k:k + 1] = sx0
-        out_boxes_ref[0, 2, :, k:k + 1] = sy1
-        out_boxes_ref[0, 3, :, k:k + 1] = sx1
+        store(k, m, sy0, sx0, sy1, sx1)
 
-        # IoU of each class's winner against every candidate: [Cp, Np]
+        # IoU of each row's winner against every candidate: [R, Np]
         iy = jnp.maximum(jnp.minimum(sy1, y1) - jnp.maximum(sy0, y0), 0.0)
         ix = jnp.maximum(jnp.minimum(sx1, x1) - jnp.maximum(sx0, x0), 0.0)
         inter = iy * ix
@@ -99,8 +97,14 @@ def _nms_kernel(boxes_ref, scores_ref, out_boxes_ref, out_scores_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(lane < n, scores, _NEG)    # mask lane padding
 
-    greedy_select_loop(scores, y0, x0, y1, x1, out_boxes_ref, out_scores_ref,
-                       max_out, iou_thresh)
+    def store(k, m, sy0, sx0, sy1, sx1):
+        out_scores_ref[0, :, k:k + 1] = m
+        out_boxes_ref[0, 0, :, k:k + 1] = sy0
+        out_boxes_ref[0, 1, :, k:k + 1] = sx0
+        out_boxes_ref[0, 2, :, k:k + 1] = sy1
+        out_boxes_ref[0, 3, :, k:k + 1] = sx1
+
+    greedy_select_loop(scores, y0, x0, y1, x1, store, max_out, iou_thresh)
 
 
 def batched_nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,

@@ -80,46 +80,62 @@ def letterbox_inverse_params(img_hws: jnp.ndarray, in_hw) -> jnp.ndarray:
 def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
             *, n: int, classes: int, cp: int, max_out: int, iou_thresh: float,
             class_softmax: bool):
+    """G images per program (refs: preds [G, Ep, Np], lbox [G, 8],
+    out_boxes [G, 4, Cp, So], out_scores [G, Cp, So]).  The 30 greedy steps
+    are the kernel's sequential critical path, so stacking G images' class
+    rows into each step amortizes it G-fold."""
     g = geom_ref[:]                                   # [8, Np]
     gx, gy = g[0:1], g[1:2]
     inv_gw, inv_gh = g[2:3], g[3:4]
     aw, ah = g[4:5], g[5:6]
 
-    p = preds_ref[0]                                  # [Ep, Np]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p.shape[1]), 1)
-    in_range = lane < n                               # [1, Np]
+    p = preds_ref[:]                                  # [G, Ep, Np]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p.shape[2]), 2)
+    in_range = lane < n                               # [1, 1, Np]
 
     # decode to normalized net xywh (tools/utils.py:524-547)
-    cx = (jax.nn.sigmoid(p[0:1]) + gx) * inv_gw
-    cy = (jax.nn.sigmoid(p[1:2]) + gy) * inv_gh
-    bw = jnp.exp(p[2:3]) * aw
-    bh = jnp.exp(p[3:4]) * ah
+    cx = (jax.nn.sigmoid(p[:, 0:1]) + gx) * inv_gw    # [G, 1, Np]
+    cy = (jax.nn.sigmoid(p[:, 1:2]) + gy) * inv_gh
+    bw = jnp.exp(p[:, 2:3]) * aw
+    bh = jnp.exp(p[:, 3:4]) * ah
 
     # letterbox inverse -> original-image pixels (keras_inference.py:32-72)
-    off_y, off_x = lbox_ref[0, 0, 0], lbox_ref[0, 0, 1]
-    sy, sx = lbox_ref[0, 0, 2], lbox_ref[0, 0, 3]
-    ih, iw = lbox_ref[0, 0, 4], lbox_ref[0, 0, 5]
+    lb = lbox_ref[:]                                  # [G, 8]
+    gsz = lb.shape[0]
+
+    def col(i):                                       # [G, 1, 1]
+        return lb[:, i:i + 1].reshape(gsz, 1, 1)
+
+    off_y, off_x = col(0), col(1)
+    sy, sx = col(2), col(3)
+    ih, iw = col(4), col(5)
     oy, ox = (cy - off_y) * sy, (cx - off_x) * sx
     oh, ow = bh * sy, bw * sx
-    y0 = (oy - oh * 0.5) * ih
+    y0 = (oy - oh * 0.5) * ih                         # [G, 1, Np]
     x0 = (ox - ow * 0.5) * iw
     y1 = (oy + oh * 0.5) * ih
     x1 = (ox + ow * 0.5) * iw
 
-    conf = jax.nn.sigmoid(p[4:5])                     # [1, Np]
-    cls_logits = p[5:5 + cp]                          # [Cp, Np] (rows >= C pad)
-    row = jax.lax.broadcasted_iota(jnp.int32, cls_logits.shape, 0)
+    conf = jax.nn.sigmoid(p[:, 4:5])                  # [G, 1, Np]
+    cls_logits = p[:, 5:5 + cp]                       # [G, Cp, Np] (pad rows >= C)
+    row = jax.lax.broadcasted_iota(jnp.int32, cls_logits.shape, 1)
     real_cls = row < classes
     if class_softmax:  # firmware flavor (region_layer.c:91-136)
         # pad rows must not enter the normalization
         masked = jnp.where(real_cls, cls_logits, _NEG)
-        scores = jax.nn.softmax(masked, axis=0) * conf
+        scores = jax.nn.softmax(masked, axis=1) * conf
     else:              # canonical TF flavor (keras_inference.py:101)
         scores = jax.nn.sigmoid(cls_logits) * conf
     scores = jnp.where(in_range & real_cls, scores, _NEG)
 
-    greedy_select_loop(scores, y0, x0, y1, x1, out_boxes_ref, out_scores_ref,
-                       max_out, iou_thresh)
+    def store(k, m, sy0, sx0, sy1, sx1):
+        out_scores_ref[:, :, k:k + 1] = m             # [G, Cp, 1]
+        out_boxes_ref[:, 0, :, k:k + 1] = sy0
+        out_boxes_ref[:, 1, :, k:k + 1] = sx0
+        out_boxes_ref[:, 2, :, k:k + 1] = sy1
+        out_boxes_ref[:, 3, :, k:k + 1] = sx1
+
+    greedy_select_loop(scores, y0, x0, y1, x1, store, max_out, iou_thresh)
 
 
 def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
@@ -143,44 +159,46 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
     cp = _round_up(classes, 8)
     ep = _round_up(5 + cp, 8)  # entry rows must cover the padded class rows
     so = _round_up(max_out, 128)
+    G = 8                      # images per program (amortizes the greedy chain)
+    bp = _round_up(bsz, G)
 
     preds_t = jnp.transpose(jnp.concatenate(flat, axis=1), (0, 2, 1))
     preds_t = jnp.pad(preds_t.astype(jnp.float32),
-                      ((0, 0), (0, ep - e), (0, np_ - n)))
+                      ((0, bp - bsz), (0, ep - e), (0, np_ - n)))
     geom = jnp.pad(jnp.asarray(candidate_geometry(spec)),
                    ((0, 0), (0, np_ - n)))
-    # [B, 1, 8]: TPU SMEM blocks need the last two dims to match the array
-    lbox = letterbox_inverse_params(img_hws, spec.in_hw)[:, None, :]
+    lbox = letterbox_inverse_params(img_hws, spec.in_hw)        # [B, 8]
+    lbox = jnp.pad(lbox, ((0, bp - bsz), (0, 0)), constant_values=1.0)
 
     kernel = functools.partial(_kernel, n=n, classes=classes, cp=cp,
                                max_out=max_out, iou_thresh=iou_thresh,
                                class_softmax=class_softmax)
     out_b, out_s = pl.pallas_call(
         kernel,
-        grid=(bsz,),
+        grid=(bp // G,),
         in_specs=[
-            pl.BlockSpec((1, ep, np_), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, ep, np_), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, np_), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, 8), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 4, cp, so), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((G, 4, cp, so), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp, so), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, cp, so), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, 4, cp, so), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, cp, so), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 4, cp, so), jnp.float32),
+            jax.ShapeDtypeStruct((bp, cp, so), jnp.float32),
         ),
         interpret=interpret,
     )(preds_t, geom, lbox)
 
-    out_scores = out_s[:, :classes, :max_out]
-    out_boxes = jnp.transpose(out_b[:, :, :classes, :max_out], (0, 2, 3, 1))
+    out_scores = out_s[:bsz, :classes, :max_out]
+    out_boxes = jnp.transpose(out_b[:bsz, :, :classes, :max_out], (0, 2, 3, 1))
     valid = out_scores >= score_thresh
     out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
     classes_arr = jnp.broadcast_to(
