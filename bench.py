@@ -44,21 +44,23 @@ def main():
     canvases = jnp.asarray(rng.integers(0, 256, (batch, 240, 320, 3)).astype(np.uint8))
     img_hws = jnp.asarray(np.tile([240, 320], (batch, 1)).astype(np.int32))
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
     def step(canv):
         res = pred._run_batch(pred.variables, canv, img_hws)
         # data-dependent bump chains the next iteration to this result
         bump = (res.scores.sum() > 1e9).astype(jnp.uint8)
         return canv + bump, res.scores.sum()
 
-    canv, out = step(canvases)            # warmup/compile
+    canv, out = step(jnp.copy(canvases))  # warmup/compile
     jax.block_until_ready(out)
 
     # best of 3 rounds: the dispatch path adds run-to-run noise that only
     # inflates times, so min is the faithful steady-state estimate
     iters, best = 50, float("inf")
     for _ in range(3):
-        canv = canvases
+        canv = jnp.copy(canvases)         # fresh donatable buffer per round
         t0 = time.perf_counter()
         for _ in range(iters):
             canv, out = step(canv)
