@@ -28,7 +28,13 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["mobilev1_layer_map", "port_reference_h5"]
+__all__ = [
+    "mobilev1_layer_map",
+    "mobilev2_layer_map",
+    "tiny_yolo_layer_map",
+    "yolo_layer_map",
+    "port_reference_h5",
+]
 
 _BN_WEIGHTS = [("gamma:0", "params", "scale"), ("beta:0", "params", "bias"),
                ("moving_mean:0", "batch_stats", "mean"),
@@ -75,7 +81,159 @@ def mobilev1_layer_map() -> List[Tuple[str, str, List]]:
     return table
 
 
-_LAYER_MAPS = {"yolo_mobilev1": mobilev1_layer_map}
+def _head_rows(conv_start: int, bn_start: int, widths=("y1", "y2")) -> List[Tuple[str, str, List]]:
+    """The auto-numbered 2-scale head shared by the mobilenet/tiny builders
+    (yolonet.py:27-38, 86-96, 128-138).  Keras numbers Conv2D/BatchNorm
+    layers in creation order: y1 3x3+BN, y1 out, up 1x1+BN, y2 3x3+BN,
+    y2 out."""
+    def conv(i):
+        return "conv2d" if i == 0 else f"conv2d_{i}"
+
+    def bn(i):
+        return "batch_normalization" if i == 0 else f"batch_normalization_{i}"
+
+    c, b = conv_start, bn_start
+    return [
+        (conv(c), "head/y1_conv/dark_conv_bn/conv", [("kernel:0", "params", "kernel")]),
+        (bn(b), "head/y1_conv/dark_conv_bn/bn", list(_BN_WEIGHTS)),
+        (conv(c + 1), "head/y1_out/dark_conv_out",
+         [("kernel:0", "params", "kernel"), ("bias:0", "params", "bias")]),
+        (conv(c + 2), "head/up_conv/dark_conv_bn/conv", [("kernel:0", "params", "kernel")]),
+        (bn(b + 1), "head/up_conv/dark_conv_bn/bn", list(_BN_WEIGHTS)),
+        (conv(c + 3), "head/y2_conv/dark_conv_bn/conv", [("kernel:0", "params", "kernel")]),
+        (bn(b + 2), "head/y2_conv/dark_conv_bn/bn", list(_BN_WEIGHTS)),
+        (conv(c + 4), "head/y2_out/dark_conv_out",
+         [("kernel:0", "params", "kernel"), ("bias:0", "params", "bias")]),
+    ]
+
+
+def mobilev2_layer_map() -> List[Tuple[str, str, List]]:
+    """yolo_mobilev2: keras-applications MobileNetV2 names
+    (/root/reference/models/keras_mobilenet_v2.py:318-382, 443-481) +
+    auto-numbered head (yolonet.py:86-96).
+
+    Block 0 is named ``expanded_conv_*`` and has no expand conv; blocks
+    1-16 are ``block_{n}_{expand,depthwise,project}`` (+``_BN``).
+    """
+    table: List[Tuple[str, str, List]] = [
+        ("Conv1", "backbone/stem/conv", [("kernel:0", "params", "kernel")]),
+        ("bn_Conv1", "backbone/stem/bn", list(_BN_WEIGHTS)),
+        ("expanded_conv_depthwise", "backbone/block_0/depthwise/conv",
+         [("depthwise_kernel:0", "params", "kernel", _dw_transpose)]),
+        ("expanded_conv_depthwise_BN", "backbone/block_0/depthwise/bn", list(_BN_WEIGHTS)),
+        ("expanded_conv_project", "backbone/block_0/project/conv",
+         [("kernel:0", "params", "kernel")]),
+        ("expanded_conv_project_BN", "backbone/block_0/project/bn", list(_BN_WEIGHTS)),
+    ]
+    for n in range(1, 17):
+        table += [
+            (f"block_{n}_expand", f"backbone/block_{n}/expand/conv",
+             [("kernel:0", "params", "kernel")]),
+            (f"block_{n}_expand_BN", f"backbone/block_{n}/expand/bn", list(_BN_WEIGHTS)),
+            (f"block_{n}_depthwise", f"backbone/block_{n}/depthwise/conv",
+             [("depthwise_kernel:0", "params", "kernel", _dw_transpose)]),
+            (f"block_{n}_depthwise_BN", f"backbone/block_{n}/depthwise/bn", list(_BN_WEIGHTS)),
+            (f"block_{n}_project", f"backbone/block_{n}/project/conv",
+             [("kernel:0", "params", "kernel")]),
+            (f"block_{n}_project_BN", f"backbone/block_{n}/project/bn", list(_BN_WEIGHTS)),
+        ]
+    table += [
+        ("Conv_1", "backbone/conv_last/conv", [("kernel:0", "params", "kernel")]),
+        ("Conv_1_bn", "backbone/conv_last/bn", list(_BN_WEIGHTS)),
+    ]
+    table += _head_rows(conv_start=0, bn_start=0)
+    return table
+
+
+def tiny_yolo_layer_map() -> List[Tuple[str, str, List]]:
+    """tiny_yolo: every layer is auto-numbered (yolonet.py:107-138).
+
+    Body creation order: conv2d..conv2d_7 = the 16/32/64/128/256/512/1024/
+    256(1x1) ladder (our ``backbone/conv_0..7``), then the shared head at
+    conv2d_8 / batch_normalization_8.
+    """
+    table: List[Tuple[str, str, List]] = []
+    for i in range(8):
+        conv = "conv2d" if i == 0 else f"conv2d_{i}"
+        bn = "batch_normalization" if i == 0 else f"batch_normalization_{i}"
+        table += [
+            (conv, f"backbone/conv_{i}/dark_conv_bn/conv",
+             [("kernel:0", "params", "kernel")]),
+            (bn, f"backbone/conv_{i}/dark_conv_bn/bn", list(_BN_WEIGHTS)),
+        ]
+    table += _head_rows(conv_start=8, bn_start=8)
+    return table
+
+
+def yolo_layer_map() -> List[Tuple[str, str, List]]:
+    """Full yolo: darknet53 + 3 last-layer stacks, all auto-numbered
+    (yolonet.py:161-229).
+
+    Conv creation order: stem, then each resblock (down conv then
+    num_blocks x [1x1, 3x3]) = conv2d..conv2d_51 with matching BNs; then
+    make_last_layers(512) trunk 0-4 / branch / out = conv2d_52..58 (BN
+    52-57), up1 conv2d_59 (BN 58), make_last_layers(256) = conv2d_60..66
+    (BN 59-64), up2 conv2d_67 (BN 65), make_last_layers(128) =
+    conv2d_68..74 (BN 66-72).  Out convs carry a bias and no BN, so the
+    BN counter lags the conv counter after conv2d_58.
+    """
+    counters = {"conv": 0, "bn": 0}
+
+    def conv_bn(path: str) -> List[Tuple[str, str, List]]:
+        c, b = counters["conv"], counters["bn"]
+        conv = "conv2d" if c == 0 else f"conv2d_{c}"
+        bn = "batch_normalization" if b == 0 else f"batch_normalization_{b}"
+        counters["conv"], counters["bn"] = c + 1, b + 1
+        return [
+            (conv, f"{path}/dark_conv_bn/conv", [("kernel:0", "params", "kernel")]),
+            (bn, f"{path}/dark_conv_bn/bn", list(_BN_WEIGHTS)),
+        ]
+
+    def out_conv(path: str) -> List[Tuple[str, str, List]]:
+        c = counters["conv"]
+        conv = "conv2d" if c == 0 else f"conv2d_{c}"
+        counters["conv"] = c + 1
+        return [(conv, f"{path}/dark_conv_out",
+                 [("kernel:0", "params", "kernel"), ("bias:0", "params", "bias")])]
+
+    table: List[Tuple[str, str, List]] = []
+    table += conv_bn("backbone/stem")
+    for stage, nblocks in [(1, 1), (2, 2), (3, 8), (4, 8), (5, 4)]:
+        table += conv_bn(f"backbone/stage_{stage}/down")
+        for i in range(nblocks):
+            table += conv_bn(f"backbone/stage_{stage}/res_{i}_1x1")
+            table += conv_bn(f"backbone/stage_{stage}/res_{i}_3x3")
+    for scale, up in [("512", "up1_conv"), ("256", "up2_conv"), ("128", None)]:
+        for i in range(5):
+            table += conv_bn(f"last_{scale}/trunk_{i}")
+        table += conv_bn(f"last_{scale}/branch")
+        yi = {"512": "y1", "256": "y2", "128": "y3"}[scale]
+        table += out_conv(f"{yi}_out")
+        if up is not None:
+            table += conv_bn(up)
+    return table
+
+
+_LAYER_MAPS = {
+    "yolo_mobilev1": mobilev1_layer_map,
+    "yolo_mobilev2": mobilev2_layer_map,
+    "tiny_yolo": tiny_yolo_layer_map,
+    "yolo": yolo_layer_map,
+}
+
+# How shape mismatches between donor weights and our template are resolved,
+# mirroring the reference's transplant semantics per model:
+#   exact      — any mismatch is an error (mobilenet backbones, yolonet.py:16-21);
+#   slice_cout — COCO 255-channel head sliced to the first a*(5+C) output
+#                channels (tiny_yolo, yolonet.py:146-156);
+#   min_shape  — elementwise min-shape partial copy into our init values
+#                (darknet53 transplant, yolonet.py:182-189).
+_PORT_POLICIES = {
+    "yolo_mobilev1": "exact",
+    "yolo_mobilev2": "exact",
+    "tiny_yolo": "slice_cout",
+    "yolo": "min_shape",
+}
 
 
 def _find_layer_group(f, layer: str):
@@ -88,16 +246,31 @@ def _find_layer_group(f, layer: str):
     return g[layer] if layer in g else g
 
 
-def _set_leaf(tree: Dict, path: str, value: np.ndarray):
+def _set_leaf(tree: Dict, path: str, value: np.ndarray, policy: str = "exact"):
     keys = path.split("/")
     node = tree
     for k in keys[:-1]:
         node = node[k]
-    leaf = node[keys[-1]]
+    leaf = np.asarray(node[keys[-1]])
     if tuple(leaf.shape) != tuple(value.shape):
-        raise ValueError(f"{path}: reference weight shape {value.shape} "
-                         f"!= ours {tuple(leaf.shape)}")
-    node[keys[-1]] = value.astype(np.asarray(leaf).dtype)
+        if policy == "slice_cout" and (
+                value.ndim == leaf.ndim
+                and value.shape[:-1] == leaf.shape[:-1]
+                and value.shape[-1] >= leaf.shape[-1]):
+            # COCO 255-channel head -> first anchor_num*(5+C) channels
+            # (yolonet.py:147-155).
+            value = value[..., :leaf.shape[-1]]
+        elif policy == "min_shape" and value.ndim == leaf.ndim:
+            # Partial transplant: copy the overlapping hyperrectangle, keep
+            # our init values elsewhere (yolonet.py:184-187).
+            sl = tuple(slice(0, min(a, b)) for a, b in zip(leaf.shape, value.shape))
+            out = leaf.copy()
+            out[sl] = value[sl]
+            value = out
+        else:
+            raise ValueError(f"{path}: reference weight shape {value.shape} "
+                             f"!= ours {tuple(leaf.shape)}")
+    node[keys[-1]] = value.astype(leaf.dtype)
 
 
 def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],
@@ -119,6 +292,7 @@ def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],
         raise KeyError(f"no reference layer map for {model_def!r}; "
                        f"have {sorted(_LAYER_MAPS)}")
     table = _LAYER_MAPS[model_def]()
+    policy = _PORT_POLICIES[model_def]
 
     out = jax.tree.map(np.asarray, jax.device_get(template))
     # unfreeze to plain nested dicts
@@ -144,7 +318,7 @@ def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],
                 arr = np.asarray(g[wname])
                 if transform is not None:
                     arr = transform(arr)
-                _set_leaf(out[coll], f"{module_path}/{leaf}", arr)
+                _set_leaf(out[coll], f"{module_path}/{leaf}", arr, policy)
     if missing and not allow_missing:
         raise KeyError(f"layers missing from {h5_path}: {missing}")
     return out, missing

@@ -7,11 +7,17 @@ import pytest
 import jax
 
 from k210_yolo_framework_tpu.models import build_network
-from k210_yolo_framework_tpu.port import mobilev1_layer_map, port_reference_h5
+from k210_yolo_framework_tpu.port import (
+    mobilev1_layer_map,
+    mobilev2_layer_map,
+    port_reference_h5,
+    tiny_yolo_layer_map,
+    yolo_layer_map,
+)
 
 
-def _template(alpha=0.75):
-    net = build_network("yolo_mobilev1", (224, 320), 3, 20, alpha=alpha)
+def _template(alpha=0.75, model="yolo_mobilev1", in_hw=(224, 320)):
+    net = build_network(model, in_hw, 3, 20, alpha=alpha)
     v = net.init(jax.random.PRNGKey(0))
     return net, {"params": v["params"], "batch_stats": v["batch_stats"]}
 
@@ -80,6 +86,119 @@ def test_port_backbone_only(tmp_path):
         _leaf(template["params"], "head/y1_out/dark_conv_out/bias"))
     with pytest.raises(KeyError):
         port_reference_h5(path, "yolo_mobilev1", template, allow_missing=False)
+
+
+def test_port_mobilev2_full_model(tmp_path):
+    net, template = _template(alpha=0.75, model="yolo_mobilev2", in_hw=(96, 128))
+    table = mobilev2_layer_map()
+    path = str(tmp_path / "v2.h5")
+    const = _write_keras_h5(path, template, table)
+
+    out, missing = port_reference_h5(path, "yolo_mobilev2", template)
+    assert missing == []
+    for (coll, leafpath), want in const.items():
+        assert np.all(_leaf(out[coll], leafpath) == want), (coll, leafpath)
+    import jax.numpy as jnp
+    outs = net.apply({"params": out["params"], "batch_stats": out["batch_stats"]},
+                     jnp.zeros((1, 96, 128, 3)), train=False)
+    assert outs[0].shape == (1, 3, 4, 3, 25)
+
+
+def test_port_mobilev2_map_covers_every_param():
+    """Every conv/bn leaf in our v2 tree must appear in the map (no silently
+    unported weights)."""
+    _, template = _template(alpha=0.75, model="yolo_mobilev2", in_hw=(96, 128))
+    mapped = {module_path for _, module_path, _ in mobilev2_layer_map()}
+    paths = set()
+    from jax.tree_util import tree_flatten_with_path
+    for coll in ("params", "batch_stats"):
+        flat, _ = tree_flatten_with_path(template[coll])
+        for kp, _leaf_v in flat:
+            keys = [getattr(k, "key", str(k)) for k in kp]
+            paths.add("/".join(keys[:-1]))
+    assert paths == mapped
+
+
+def test_port_tiny_yolo_coco_head_slice(tmp_path):
+    """The reference slices a 255-channel COCO head down to a*(5+C)
+    (yolonet.py:146-156): first 75 output channels win."""
+    net, template = _template(model="tiny_yolo", in_hw=(96, 128))
+    table = tiny_yolo_layer_map()
+    path = str(tmp_path / "tiny_coco.h5")
+
+    rng = np.random.default_rng(0)
+    donors = {}
+    with h5py.File(path, "w") as f:
+        root = f.create_group("model_weights")
+        for layer, module_path, weights in table:
+            g = root.create_group(layer).create_group(layer)
+            for spec in weights:
+                wname, coll, leaf = spec[0], spec[1], spec[2]
+                shape = list(_leaf(template[coll], f"{module_path}/{leaf}").shape)
+                if "_out" in module_path:  # head conv: donor is 255-channel COCO
+                    shape[-1] = 255
+                arr = rng.normal(size=shape).astype(np.float32)
+                g.create_dataset(wname, data=arr)
+                donors[(coll, f"{module_path}/{leaf}")] = arr
+
+    out, missing = port_reference_h5(path, "tiny_yolo", template)
+    assert missing == []
+    for (coll, leafpath), donor in donors.items():
+        got = _leaf(out[coll], leafpath)
+        np.testing.assert_array_equal(got, donor[..., :got.shape[-1]], err_msg=leafpath)
+    import jax.numpy as jnp
+    outs = net.apply({"params": out["params"], "batch_stats": out["batch_stats"]},
+                     jnp.zeros((1, 96, 128, 3)), train=False)
+    assert outs[0].shape == (1, 3, 4, 3, 25)
+
+
+def test_port_yolo_min_shape_transplant(tmp_path):
+    """darknet53 partial transplant (yolonet.py:182-189): the overlapping
+    min-shape block is copied, our init survives outside it."""
+    net, template = _template(model="yolo", in_hw=(96, 96))
+    table = yolo_layer_map()
+    path = str(tmp_path / "yolo_coco.h5")
+
+    rng = np.random.default_rng(1)
+    donors = {}
+    with h5py.File(path, "w") as f:
+        root = f.create_group("model_weights")
+        for layer, module_path, weights in table:
+            g = root.create_group(layer).create_group(layer)
+            for spec in weights:
+                wname, coll, leaf = spec[0], spec[1], spec[2]
+                shape = list(_leaf(template[coll], f"{module_path}/{leaf}").shape)
+                if "_out" in module_path:  # COCO head: 255 channels
+                    shape[-1] = 255
+                arr = rng.normal(size=shape).astype(np.float32)
+                g.create_dataset(wname, data=arr)
+                donors[(coll, f"{module_path}/{leaf}")] = arr
+
+    out, missing = port_reference_h5(path, "yolo", template)
+    assert missing == []
+    # exact-shape weights: full copy
+    k = ("params", "backbone/stage_3/res_0_1x1/dark_conv_bn/conv/kernel")
+    np.testing.assert_array_equal(_leaf(out["params"], k[1]), donors[k])
+    # 255-channel head kernel: overlap from donor, rest untouched template
+    k = ("params", "y1_out/dark_conv_out/kernel")
+    got, donor = _leaf(out["params"], k[1]), donors[k]
+    np.testing.assert_array_equal(got, donor[..., :got.shape[-1]])
+    k = ("params", "y1_out/dark_conv_out/bias")
+    got, donor = _leaf(out["params"], k[1]), donors[k]
+    np.testing.assert_array_equal(got, donor[:got.shape[0]])
+
+
+def test_port_yolo_map_covers_every_param():
+    _, template = _template(model="yolo", in_hw=(96, 96))
+    mapped = {module_path for _, module_path, _ in yolo_layer_map()}
+    paths = set()
+    from jax.tree_util import tree_flatten_with_path
+    for coll in ("params", "batch_stats"):
+        flat, _ = tree_flatten_with_path(template[coll])
+        for kp, _leaf_v in flat:
+            keys = [getattr(k, "key", str(k)) for k in kp]
+            paths.add("/".join(keys[:-1]))
+    assert paths == mapped
 
 
 def test_port_shape_mismatch_raises(tmp_path):
