@@ -21,15 +21,19 @@ MXU-bound convs dominate.  Weight layout is HWIO (XLA native).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = [
     "ConvBN",
     "DarknetConvBN",
+    "DepthwiseConv",
     "darknet_head_conv",
+    "depthwise_conv",
     "leaky_relu",
     "relu6",
     "upsample2x",
@@ -94,6 +98,97 @@ class _StemConv(nn.Module):
         return patches @ k2.astype(self.dtype)
 
 
+def _dw_conv(x: jnp.ndarray, kernel: jnp.ndarray, strides: Tuple[int, int],
+             padding: str) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, kernel, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+
+
+def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
+    out = -(-size // s)  # ceil
+    total = max((out - 1) * s + k - size, 0)
+    return total // 2, total - total // 2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                   strides: Tuple[int, int], padding: str) -> jnp.ndarray:
+    """Grouped (depthwise) conv with a GSPMD-safe kernel gradient.
+
+    XLA's partitioner mis-scales the grouped-convolution KERNEL gradient by
+    the size of any mesh axis the operands are not sharded over (measured:
+    dk exactly mp x too large for a replicated [kh,kw,1,C] kernel with the
+    input batch-sharded on a (dp, mp) mesh, jax 0.9.0, both GSPMD and
+    shardy; dx and the forward are unaffected).  The backward-wrt-kernel
+    conv uses batch_group_count, whose partial results get summed over the
+    unused axis instead of being deduplicated.
+
+    This custom VJP keeps the fast grouped conv forward and the standard
+    (correct) transposed conv for dx, but computes dk as kh*kw tap-wise
+    multiply-reduces — pure elementwise ops + reductions, which every
+    partitioner handles correctly — so training math is placement-invariant.
+    """
+    return _dw_conv(x, kernel, strides, padding)
+
+
+def _dw_fwd(x, kernel, strides, padding):
+    return _dw_conv(x, kernel, strides, padding), (x, kernel)
+
+
+def _dw_bwd(strides, padding, res, dy):
+    x, kernel = res
+    _, vjp_x = jax.vjp(lambda xx: _dw_conv(xx, kernel, strides, padding), x)
+    dx, = vjp_x(dy)
+
+    kh, kw, _, c = kernel.shape
+    sh, sw = strides
+    if padding == "SAME":
+        ph, pw = _same_pads(x.shape[1], kh, sh), _same_pads(x.shape[2], kw, sw)
+    else:  # VALID (explicit pads are applied by the caller before the conv)
+        ph = pw = (0, 0)
+    xp = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+    ho, wo = dy.shape[1], dy.shape[2]
+    dy32 = dy.astype(jnp.float32)
+    rows = []
+    for a in range(kh):
+        cols = []
+        for b in range(kw):
+            xs = jax.lax.slice(
+                xp, (0, a, b, 0),
+                (xp.shape[0], a + sh * (ho - 1) + 1, b + sw * (wo - 1) + 1, c),
+                (1, sh, sw, 1))
+            cols.append(jnp.sum(xs.astype(jnp.float32) * dy32, axis=(0, 1, 2)))
+        rows.append(jnp.stack(cols))
+    dk = jnp.stack(rows)[:, :, None, :].astype(kernel.dtype)
+    return dx, dk
+
+
+depthwise_conv.defvjp(_dw_fwd, _dw_bwd)
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise conv module using :func:`depthwise_conv`.
+
+    Param name/shape/init match ``nn.Conv(feature_group_count=C)`` exactly
+    ([kh, kw, 1, C], lecun_normal), so checkpoints are interchangeable.
+    """
+
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: str
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel[0], self.kernel[1], 1, c))
+        return depthwise_conv(x.astype(self.dtype), k.astype(self.dtype),
+                              tuple(self.strides), self.padding)
+
+
 class ConvBN(nn.Module):
     """Conv (+ optional depthwise) -> BN -> activation.
 
@@ -120,13 +215,11 @@ class ConvBN(nn.Module):
             x = jnp.pad(x, ((0, 0),) + tuple(self.explicit_pad) + ((0, 0),))
             pad = "VALID"
         if self.depthwise:
-            x = nn.Conv(
-                features=x.shape[-1],
-                kernel_size=self.kernel,
+            assert not self.use_bias, "depthwise path is bias-free in this zoo"
+            x = DepthwiseConv(
+                kernel=self.kernel,
                 strides=self.strides,
                 padding=pad,
-                feature_group_count=x.shape[-1],
-                use_bias=self.use_bias,
                 dtype=self.dtype,
                 name="conv",
             )(x)
