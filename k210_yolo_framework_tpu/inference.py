@@ -47,13 +47,18 @@ class Predictor:
     def __init__(self, net: YoloNet, variables, spec: YoloSpec,
                  obj_thresh: float = 0.7, iou_thresh: float = 0.3,
                  class_softmax: bool = False, max_out: int = 30,
-                 compute_dtype=None):
+                 compute_dtype=None, quantize: Optional[str] = None):
         """``compute_dtype`` sets the conv-stack compute dtype by rebuilding
         the module tree (builders thread ``dtype`` down); params stay fp32
         master copies, decode/NMS stay fp32.  ``None`` keeps the net's own
         dtype (no silent numerics change); pass ``jnp.bfloat16`` for serving
         — fp32 convs are 3x slower per op and catastrophically slow for
-        some shapes on TPU."""
+        some shapes on TPU.
+
+        ``quantize='int8'`` serves from per-channel int8 conv kernels (the
+        reference's kmodel device story, see ``quantize.py``): weights are
+        stored int8 on device and dequantized inside the jitted program.
+        """
         import dataclasses
         if compute_dtype is None:
             compute_dtype = getattr(net.module, "dtype", jnp.float32)
@@ -61,6 +66,14 @@ class Predictor:
             net = dataclasses.replace(
                 net, module=net.module.clone(dtype=compute_dtype))
         self.net = net
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
+        if quantize == "int8":
+            from k210_yolo_framework_tpu.quantize import quantize_tree
+            variables = dict(variables)
+            variables["params"] = jax.device_put(
+                jax.jit(quantize_tree)(variables["params"]))
         self.variables = variables
         self.spec = spec
         self.obj_thresh = obj_thresh
@@ -69,10 +82,18 @@ class Predictor:
         self.max_out = max_out
         self.compute_dtype = compute_dtype
 
+    def _materialize(self, variables):
+        """Traceable: int8 QTensor kernels -> dense fp32 (inside jit)."""
+        if self.quantize is None:
+            return variables
+        from k210_yolo_framework_tpu.quantize import dequantize_tree
+        return {**variables, "params": dequantize_tree(variables["params"])}
+
     # ---- single image (per-shape compile, like a CLI tool) ---------------
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run_single(self, variables, img_u8: jnp.ndarray, img_hw: jnp.ndarray):
+        variables = self._materialize(variables)
         img = LB.letterbox_image(img_u8, img_hw, self.spec.in_hw)
         img = LB.normalize_image(img).astype(self.compute_dtype)
         preds = self.net.apply(variables, img[None])
@@ -100,6 +121,8 @@ class Predictor:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run_batch(self, variables, canvases_u8: jnp.ndarray, img_hws: jnp.ndarray):
+        variables = self._materialize(variables)
+
         def one(canvas, hw):
             img = LB.letterbox_image(canvas, hw, self.spec.in_hw,
                                      dtype=self.compute_dtype)
@@ -123,8 +146,12 @@ class Predictor:
         ``(canvases [B,...], img_hws [B,2]) -> NmsResult`` with B divisible
         by the mesh's data axis; params are replicated once here.
         """
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
 
         from k210_yolo_framework_tpu.parallel.mesh import DATA_AXIS
 

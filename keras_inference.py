@@ -48,6 +48,8 @@ def main(args):
     pred = Predictor(net, variables, spec,
                      obj_thresh=args.obj_thresh, iou_thresh=args.iou_thresh,
                      compute_dtype=jnp.bfloat16 if str(args.bf16).lower() == "true"
+                     else None,
+                     quantize="int8" if str(args.quantize).lower() in ("true", "int8")
                      else None)
     img = read_image(args.test_image)
     det = pred.predict_image(img)
@@ -82,6 +84,9 @@ def parse_args(argv):
     parser.add_argument("--bf16", type=str, default="False",
                         help="bf16 conv compute (fast serving; default keeps "
                              "exact fp32 reference numerics)")
+    parser.add_argument("--quantize", type=str, default="False",
+                        help="'int8' (or 'True') serves from per-channel int8 "
+                             "conv kernels — the kmodel device-story analogue")
     parser.add_argument("pre_ckpt", type=str)
     parser.add_argument("test_image", type=str)
     return parser.parse_args(argv)
