@@ -2,22 +2,28 @@
 
 The reference freezes ``.h5 -> .tflite`` via TFLiteConverter and hands off to
 nncase for ``.kmodel`` (/root/reference/keras_freeze.py:15-23; README.md:
-144-154).  The TPU-native deliverable is the serving program itself:
+144-154).  Deliverables here:
 
-  * the RAW-output model (``[B, h, w, a*(5+C)]`` heads, the reference's
-    ``yolo_model`` export view) serialized as StableHLO via ``jax.export``
-    — a portable, compiler-consumable artifact (the ``.tflite`` analogue);
+  * a REAL ``.tflite`` flatbuffer of the raw-output model (``[B, h, w,
+    a*(5+C)]`` heads, the reference's ``yolo_model`` export view) via
+    TFLite's jax frontend — the artifact nncase ingests for ``.kmodel``;
+    optional full-int8 PTQ with a representative dataset (the kmodel's
+    own quantization recipe);
+  * the same model as StableHLO via ``jax.export`` — the portable
+    compiler-consumable artifact for XLA-family runtimes;
+  * the FULL serving program (uint8 frames -> NMS'd boxes) as StableHLO;
   * an ``.h5`` weights file (the ``yolo_model.h5`` analogue);
   * printed input/output "node" names + shapes (keras_freeze.py:21-23 UX).
 
-TFLite itself requires a TF installation, and kmodel requires nncase +
-K210 hardware — both out of scope on this image (documented, not stubbed).
+TF is an export-time-only dependency (never on the train/serve path); all
+TFLite entry points degrade gracefully when it is absent.  kmodel itself
+requires nncase + K210 hardware — out of scope on this image.
 """
 
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +33,7 @@ from k210_yolo_framework_tpu.config import YoloSpec
 from k210_yolo_framework_tpu.models.yolonet import YoloNet
 from k210_yolo_framework_tpu.training import checkpoint as CK
 
-__all__ = ["export_stablehlo", "freeze"]
+__all__ = ["export_stablehlo", "export_tflite", "freeze"]
 
 
 def export_stablehlo(net: YoloNet, variables: Dict, batch: int = 1) -> bytes:
@@ -40,6 +46,39 @@ def export_stablehlo(net: YoloNet, variables: Dict, batch: int = 1) -> bytes:
     x_spec = jax.ShapeDtypeStruct((batch, net.in_hw[0], net.in_hw[1], 3), jnp.float32)
     exported = jexport.export(jax.jit(forward))(x_spec)
     return exported.serialize()
+
+
+def export_tflite(net: YoloNet, variables: Dict, batch: int = 1,
+                  int8: bool = False,
+                  rep_images: Optional[np.ndarray] = None) -> bytes:
+    """``.tflite`` flatbuffer of the raw-output model — the reference's
+    freeze product (keras_freeze.py:15-23), consumable by nncase for
+    ``.kmodel`` (README.md:152-154).
+
+    ``int8=True`` applies post-training quantization: dynamic-range
+    (weights-only) without ``rep_images``, full int8 with them
+    (``rep_images``: [n, in_h, in_w, 3] float32 in [0, 1], the calibration
+    set nncase's ``--dataset`` flag corresponds to).  Model I/O stays
+    float32 either way so downstream decode code is unchanged.
+    """
+    import tensorflow as tf  # export-time-only dependency
+
+    def forward(x):
+        return tuple(net.apply_raw(variables, x, train=False))
+
+    x = np.zeros((batch, net.in_hw[0], net.in_hw[1], 3), np.float32)
+    conv = tf.lite.TFLiteConverter.experimental_from_jax(
+        [forward], [[("images", x)]])
+    if int8:
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        if rep_images is not None:
+            def rep():
+                for img in rep_images:
+                    yield [np.asarray(img, np.float32)[None]]
+            conv.representative_dataset = rep
+            conv.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+    return conv.convert()
 
 
 def export_serving_stablehlo(predictor, batch: int = 1,
@@ -62,7 +101,8 @@ def export_serving_stablehlo(predictor, batch: int = 1,
 
     spec = predictor.spec
     canvas_hw = canvas_hw or spec.in_hw
-    net, variables = predictor.net, predictor.variables
+    # materialize int8 QTensor kernels so the artifact is self-contained
+    net, variables = predictor.net, predictor._materialize(predictor.variables)
 
     def serve(canvases_u8, img_hws):
         def one(canvas, hw):
@@ -87,21 +127,39 @@ def export_serving_stablehlo(predictor, batch: int = 1,
 
 
 def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
-           batch: int = 1) -> Dict[str, str]:
+           batch: int = 1, tflite: bool = True,
+           tflite_int8: bool = False) -> Dict[str, str]:
     """Write all export artifacts; returns {artifact: path}."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    arts: Dict[str, str] = {}
 
     hlo_path = out / "yolo_model.stablehlo"
     hlo_path.write_bytes(export_stablehlo(net, variables, batch))
+    arts["stablehlo"] = str(hlo_path)
 
     from k210_yolo_framework_tpu.inference import Predictor
     serving_path = out / "yolo_serving.stablehlo"
     serving_path.write_bytes(export_serving_stablehlo(
         Predictor(net, variables, spec), batch=batch))
+    arts["serving"] = str(serving_path)
 
     h5_path = out / "yolo_model.h5"
     CK.save_h5(str(h5_path), variables)
+    arts["h5"] = str(h5_path)
+
+    if tflite:
+        try:
+            tfl_path = out / "yolo_model.tflite"
+            tfl_path.write_bytes(export_tflite(net, variables, batch))
+            arts["tflite"] = str(tfl_path)
+            if tflite_int8:
+                q_path = out / "yolo_model_int8.tflite"
+                q_path.write_bytes(export_tflite(net, variables, batch, int8=True))
+                arts["tflite_int8"] = str(q_path)
+        except ImportError:
+            print("NOTE: tensorflow unavailable — skipping .tflite artifact "
+                  "(StableHLO + h5 written)")
 
     print("Model Inputs Node:  image:0",
           (batch, net.in_hw[0], net.in_hw[1], 3), "float32")
@@ -109,5 +167,4 @@ def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
         print(f"Model Outputs Node: l{l + 1}/raw:0",
               (batch, hw[0], hw[1], spec.nanchors * spec.nchannels), "float32")
 
-    return {"stablehlo": str(hlo_path), "serving": str(serving_path),
-            "h5": str(h5_path)}
+    return arts

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Freeze/export entry — CLI-compatible with the reference's keras_freeze.py
-(same positional ckpt argument; prints input/output node info).  Produces a
-StableHLO serving artifact + .h5 weights instead of .tflite (no TF on this
-image; kmodel/nncase is K210-hardware scope — see export.py docstring)."""
+(same positional ckpt argument; prints input/output node info).  Produces the
+reference's .tflite flatbuffer (nncase-consumable; optional int8 PTQ) plus
+StableHLO serving artifacts and .h5 weights — see export.py docstring."""
 
 import argparse
 import sys
@@ -35,7 +35,9 @@ def main(args):
         variables = {"params": restored.params, "batch_stats": restored.batch_stats}
 
     out_dir = args.out_dir or str(Path(args.pre_ckpt).parent / "Freeze_save")
-    arts = freeze(net, variables, spec, out_dir)
+    arts = freeze(net, variables, spec, out_dir,
+                  tflite=str(args.tflite).lower() == "true",
+                  tflite_int8=str(args.tflite_int8).lower() == "true")
     print(NOTE, f"export artifacts: {arts}")
 
 
@@ -49,6 +51,10 @@ def parse_arguments(argv):
     parser.add_argument("--image_size", type=int, default=(224, 320), nargs="+")
     parser.add_argument("--output_size", type=int, default=(7, 10, 14, 20), nargs="+")
     parser.add_argument("--out_dir", type=str, default=None)
+    parser.add_argument("--tflite", type=str, default="True",
+                        help="write yolo_model.tflite (reference freeze product)")
+    parser.add_argument("--tflite_int8", type=str, default="False",
+                        help="also write a dynamic-range int8 .tflite")
     return parser.parse_args(argv)
 
 
