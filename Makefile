@@ -111,4 +111,4 @@ test:
 	python3 -m pytest tests/ -q
 
 bench:
-	python3 bench.py
+	python3 bench.py --mode all

@@ -1,28 +1,44 @@
 #!/usr/bin/env python3
-"""Benchmark: end-to-end serving throughput on the demo config.
+"""Benchmarks for the demo config (yolo_mobilev1-0.75 @ 224x320, VOC).
 
-Measures imgs/sec/chip for the FULL pipeline — uint8 frames in, final
-NMS'd detections out (letterbox + normalize + yolo_mobilev1-0.75 forward
-in bf16 + decode + per-class Pallas NMS), batch-parallel on one chip at
-224x320 — the BASELINE.md north-star metric (target >= 10,000
-imgs/sec/chip on v5e).
+Default mode prints ONE json line — the BASELINE.md north-star metric —
+{"metric", "value", "unit", "vs_baseline"}:
 
-Methodology: each iteration's input depends on the previous iteration's
-output (a data-dependent +0/+1 bump), so the timed loop forms a true
-on-device dependency chain; blocking on the last result therefore times
-ALL iterations.  (Plain ``block_until_ready`` does not serialize prior
-dispatches on every platform, which inflates async-enqueue timings.)
+  serve    (default)  end-to-end serving: uint8 frames in, NMS'd detections
+                      out (letterbox + bf16 forward + fused decode/NMS),
+                      240x320 camera-style canvases resident on device.
+  serve512            same program on the production 512x512 staging canvas
+                      (data/pipeline.py CANVAS_HW) — the honest letterbox
+                      cost for the training-eval path.
+  loader              sustained host->device serving over a synthetic
+                      on-disk JPEG set: includes host JPEG decode (native
+                      C++ loader when built), host->device transfer and
+                      the 512x512 canvas — proves the host keeps the chip
+                      fed.
+  train               chained train-step loop (batch 64, bf16 conv compute,
+                      fp32 loss/params): imgs/sec, ms/step and an MFU
+                      estimate from XLA's own FLOP count.
+  all                 every mode, one json line each.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology (serve modes): each iteration's input depends on the previous
+iteration's output (a data-dependent +0/+1 bump), so the timed loop forms a
+true on-device dependency chain; blocking on the last result therefore
+times ALL iterations.  (Plain ``block_until_ready`` does not serialize
+prior dispatches on every platform, which inflates async-enqueue timings.)
+The train mode is chained naturally through the donated TrainState.
 """
 
+import argparse
 import json
 import time
+from functools import partial
 
 import numpy as np
 
+BASE_SERVE = 10000.0  # north-star target, imgs/sec/chip (BASELINE.md)
 
-def main():
+
+def _demo_predictor(batch):
     import jax
     import jax.numpy as jnp
 
@@ -34,17 +50,21 @@ def main():
     net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=0.75)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0))
-
     pred = Predictor(net, variables, spec, obj_thresh=0.7, iou_thresh=0.3,
                      compute_dtype=jnp.bfloat16)
+    return spec, pred
+
+
+def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip"):
+    import jax
+    import jax.numpy as jnp
 
     batch = 256
+    _, pred = _demo_predictor(batch)
     rng = np.random.default_rng(0)
-    # fixed-size camera-style frames; letterbox runs on device
-    canvases = jnp.asarray(rng.integers(0, 256, (batch, 240, 320, 3)).astype(np.uint8))
-    img_hws = jnp.asarray(np.tile([240, 320], (batch, 1)).astype(np.int32))
-
-    from functools import partial
+    canvases = jnp.asarray(
+        rng.integers(0, 256, (batch, *canvas_hw, 3)).astype(np.uint8))
+    img_hws = jnp.asarray(np.tile(canvas_hw, (batch, 1)).astype(np.int32))
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(canv):
@@ -56,8 +76,8 @@ def main():
     canv, out = step(jnp.copy(canvases))  # warmup/compile
     jax.block_until_ready(out)
 
-    # best of 3 rounds: the dispatch path adds run-to-run noise that only
-    # inflates times, so min is the faithful steady-state estimate
+    # best of 3 rounds: dispatch noise only inflates times, so min is the
+    # faithful steady-state estimate
     iters, best = 50, float("inf")
     for _ in range(3):
         canv = jnp.copy(canvases)         # fresh donatable buffer per round
@@ -67,14 +87,140 @@ def main():
         _ = float(out)                    # host fetch = hard completion barrier
         best = min(best, time.perf_counter() - t0)
 
+    v = batch * iters / best
+    return {"metric": metric, "value": round(v, 1), "unit": "imgs/sec",
+            "vs_baseline": round(v / BASE_SERVE, 4)}
+
+
+def bench_loader():
+    """Sustained loader -> device -> detections over on-disk JPEGs."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from k210_yolo_framework_tpu.data.pipeline import (
+        CANVAS_HW, DataPipeline, synthetic_ann_list)
+
+    batch = 256
+    _, pred = _demo_predictor(batch)
+    tmp = tempfile.mkdtemp(prefix="bench_jpegs_")
+    try:
+        ann = synthetic_ann_list(tmp, n=512, seed=0)
+        pipe = DataPipeline(ann, batch_size=batch, seed=0,
+                            canvas_hw=CANVAS_HW, num_workers=8, prefetch=4)
+        it = iter(pipe)
+
+        run = jax.jit(lambda canv, hws: pred._run_batch(
+            pred.variables, canv, hws).scores.sum())
+        hb = next(it)  # warmup/compile
+        _ = float(run(jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws)))
+
+        nbatches = 20
+        t0 = time.perf_counter()
+        pending = []
+        for _ in range(nbatches):
+            hb = next(it)
+            pending.append(run(jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws)))
+            if len(pending) > 2:          # bounded in-flight queue
+                _ = float(pending.pop(0))
+        for p in pending:
+            _ = float(p)
+        dt = time.perf_counter() - t0
+        v = nbatches * batch / dt
+        return {"metric": "loader_e2e_imgs_per_sec_per_chip",
+                "value": round(v, 1), "unit": "imgs/sec",
+                "vs_baseline": round(v / BASE_SERVE, 4),
+                "native_loader": pipe.use_native}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+
+    from k210_yolo_framework_tpu.config import TrainConfig, voc_spec
+    from k210_yolo_framework_tpu.models import build_network
+    from k210_yolo_framework_tpu.ops import codec as C
+    from k210_yolo_framework_tpu.training import train as T
+
+    batch = 64
+    spec = voc_spec()
+    cfg = TrainConfig(batch_size=batch)
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.75, dtype=jnp.bfloat16)
+    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    step = T.make_train_step(net, spec, cfg, train_epoch_step=100)
+
+    rng = np.random.default_rng(0)
+    boxes = np.concatenate([
+        rng.integers(0, 20, (batch, 4, 1)).astype(np.float32),
+        rng.uniform(0.2, 0.8, (batch, 4, 2)),
+        rng.uniform(0.1, 0.4, (batch, 4, 2))], -1).astype(np.float32)
+    labels = tuple(C.encode_labels_batch(
+        jnp.asarray(boxes), jnp.ones((batch, 4), bool), spec))
+    images = jnp.asarray(
+        rng.uniform(0, 1, (batch, *spec.in_hw, 3)).astype(np.float32))
+
+    # XLA's own FLOP count for the step (forward+backward+update)
+    flops = None
+    try:
+        lowered = jax.jit(
+            T.make_train_step(net, spec, cfg, train_epoch_step=100)
+        ).lower(state, images, labels)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    state, logs = step(state, images, labels)  # warmup/compile
+    jax.block_until_ready(logs["loss"])
+
+    # train steps chain naturally through the donated state
+    iters, best = 30, float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, logs = step(state, images, labels)
+        _ = float(logs["loss"])           # host fetch = completion barrier
+        best = min(best, time.perf_counter() - t0)
+
     imgs_per_sec = batch * iters / best
-    baseline = 10000.0  # north-star target (BASELINE.md)
-    print(json.dumps({
-        "metric": "e2e_infer_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 1),
-        "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / baseline, 4),
-    }))
+    ms_per_step = best / iters * 1e3
+    out = {"metric": "train_imgs_per_sec_per_chip",
+           "value": round(imgs_per_sec, 1), "unit": "imgs/sec",
+           "vs_baseline": round(imgs_per_sec / 4400.0, 4),  # round-1 record
+           "ms_per_step": round(ms_per_step, 2), "batch": batch}
+    if flops:
+        tflops = flops / (best / iters) / 1e12
+        out["model_tflops_per_sec"] = round(tflops, 2)
+        # v5e bf16 peak ~197 TFLOP/s; MFU on other hardware scales trivially
+        out["mfu_vs_v5e_197tflops"] = round(tflops / 197.0, 4)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="serve",
+                    choices=["serve", "serve512", "loader", "train", "all"])
+    mode = ap.parse_args().mode
+    runs = {
+        "serve": lambda: [bench_serve()],
+        "serve512": lambda: [bench_serve(
+            (512, 512), metric="e2e_infer_512canvas_imgs_per_sec_per_chip")],
+        "loader": lambda: [bench_loader()],
+        "train": lambda: [bench_train()],
+        "all": lambda: [bench_serve(),
+                        bench_serve((512, 512),
+                                    metric="e2e_infer_512canvas_imgs_per_sec_per_chip"),
+                        bench_loader(), bench_train()],
+    }
+    for line in runs[mode]():
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":
