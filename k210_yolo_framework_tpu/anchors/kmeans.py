@@ -41,8 +41,11 @@ def letterbox_correct_boxes(ann_list: np.ndarray, in_hw: Tuple[int, int]) -> np.
 
 
 def kmeans_iou(x: jnp.ndarray, init_centroids: jnp.ndarray, iters: int = 10,
-               keep_empty: bool = False):
-    """kmeans with d = 1 - centered IoU.  Returns (centroids, assignment).
+               keep_empty: bool = False, return_history: bool = False):
+    """kmeans with d = 1 - centered IoU.  Returns (centroids, assignment),
+    plus the per-iteration centroid history [iters, k, 2] when
+    ``return_history`` (the reference's iteration plot data,
+    make_anchor_list.py:85-103, 142-177).
 
     Empty clusters produce NaN centroids (reference parity; the reference
     CLI then asks the user to rerun).  With ``keep_empty=True`` an emptied
@@ -50,7 +53,7 @@ def kmeans_iou(x: jnp.ndarray, init_centroids: jnp.ndarray, iters: int = 10,
     fix — so a run always yields finite anchors."""
     k = init_centroids.shape[0]
 
-    def one_iter(_, carry):
+    def one_iter(carry, _):
         cents, _ = carry
         d = 1.0 - centered_iou(x[:, None, :], cents[None, :, :])  # [m, k]
         idx = jnp.argmin(d, axis=1)
@@ -61,17 +64,21 @@ def kmeans_iou(x: jnp.ndarray, init_centroids: jnp.ndarray, iters: int = 10,
             new_cents = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), cents)
         else:
             new_cents = sums / counts                              # NaN when empty
-        return new_cents, idx
+        return (new_cents, idx), new_cents
 
-    cents, idx = jax.lax.fori_loop(
-        0, iters, one_iter, (init_centroids, jnp.zeros((x.shape[0],), jnp.int32)))
+    (cents, idx), history = jax.lax.scan(
+        one_iter, (init_centroids, jnp.zeros((x.shape[0],), jnp.int32)),
+        length=iters)
+    if return_history:
+        return cents, idx, history
     return cents, idx
 
 
 def generate_anchors(ann_list: np.ndarray, in_hw: Tuple[int, int],
                      layers: int, anchor_num: int, max_iters: int = 10,
                      is_random: bool = True, low=(0.0, 0.0), high=(1.0, 1.0),
-                     seed: Optional[int] = None, retries: int = 10) -> np.ndarray:
+                     seed: Optional[int] = None, retries: int = 10,
+                     history_sink: Optional[list] = None) -> np.ndarray:
     """Full flow of make_anchor_list.main (lines 180-220).
 
     Returns [layers, anchor_num, 2] normalized anchors.  A cluster that
@@ -82,6 +89,10 @@ def generate_anchors(ann_list: np.ndarray, in_hw: Tuple[int, int],
 
     Runs pinned to host CPU: the working set is a few dozen wh pairs, far
     below the latency of shipping the loop to an accelerator.
+
+    ``history_sink``: a list; when given it receives (wh_points [n, 2],
+    centroid_history [iters, k, 2]) for the winning run — the data behind
+    the reference's kmeans progress plot (make_anchor_list.py:85-103).
     """
     x = letterbox_correct_boxes(ann_list, in_hw).astype(np.float32)
     k = layers * anchor_num
@@ -90,7 +101,9 @@ def generate_anchors(ann_list: np.ndarray, in_hw: Tuple[int, int],
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:  # cpu backend unavailable (unusual) — use default
         cpu = None
-    fit = jax.jit(kmeans_iou, static_argnames=("iters", "keep_empty"), device=cpu)
+    fit = jax.jit(kmeans_iou,
+                  static_argnames=("iters", "keep_empty", "return_history"),
+                  device=cpu)
 
     def make_init():
         if is_random:
@@ -101,17 +114,22 @@ def generate_anchors(ann_list: np.ndarray, in_hw: Tuple[int, int],
         return np.vstack([np.linspace(0.05, 0.3, num=k),
                           np.linspace(0.05, 0.5, num=k)]).T.astype(np.float32)
 
+    want_hist = history_sink is not None
+    history = None
     for attempt in range(max(1, retries) if is_random else 1):
         init = make_init()
-        cents, _ = fit(jnp.asarray(x), jnp.asarray(init), iters=max_iters)
-        cents = np.asarray(cents)
+        out = fit(jnp.asarray(x), jnp.asarray(init), iters=max_iters,
+                  return_history=want_hist)
+        cents, history = np.asarray(out[0]), (np.asarray(out[2]) if want_hist else None)
         if not np.any(np.isnan(cents)):
             break
     if np.any(np.isnan(cents)):
         # robust fallback: empty clusters keep their previous centroid
-        cents, _ = fit(jnp.asarray(x), jnp.asarray(make_init()),
-                       iters=max_iters, keep_empty=True)
-        cents = np.asarray(cents)
+        out = fit(jnp.asarray(x), jnp.asarray(make_init()),
+                  iters=max_iters, keep_empty=True, return_history=want_hist)
+        cents, history = np.asarray(out[0]), (np.asarray(out[2]) if want_hist else None)
+    if want_hist:
+        history_sink.append((x, history))
     # sort by -w: layer 0 gets the biggest anchors (lines 211-213)
     cents = np.array(sorted(cents, key=lambda c: -c[0]))
     return cents.reshape(layers, anchor_num, 2)

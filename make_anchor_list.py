@@ -22,11 +22,14 @@ def main(args):
 
     ann = load_ann_list(f"data/{args.train_set}_img_ann.npy")
     layers = len(args.out_hw) // 2
+    want_plot = str(args.is_plot).lower() == "true"
+    history: list = []
     centroids = generate_anchors(
         ann, tuple(args.in_hw), layers, args.anchor_num,
         max_iters=args.max_iters,
         is_random=(str(args.is_random).lower() == "true"),
-        low=tuple(args.low), high=tuple(args.high))
+        low=tuple(args.low), high=tuple(args.high),
+        history_sink=history if want_plot else None)
 
     if np.any(np.isnan(centroids)):
         print(ERROR, "Result have NaN value please Rerun!")
@@ -34,15 +37,25 @@ def main(args):
     print(NOTE, f"Now anchors are :\n{centroids}")
     np.save(f"data/{args.train_set}_anchor.npy", centroids)
 
-    if str(args.is_plot).lower() == "true":
+    if want_plot:
         try:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
+            # iteration-history progress plot (the reference's plotData-style
+            # view, make_anchor_list.py:85-103): gt wh scatter + each
+            # centroid's trajectory across kmeans iterations.
+            if history:
+                x, hist = history[0]
+                plt.scatter(x[:, 0], x[:, 1], s=4, c="#9ecae1", label="gt wh")
+                for j in range(hist.shape[1]):
+                    plt.plot(hist[:, j, 0], hist[:, j, 1], "-o", ms=2, lw=0.8)
             flat = centroids.reshape(-1, 2)
-            plt.scatter(flat[:, 0], flat[:, 1], c="r", marker="x")
+            plt.scatter(flat[:, 0], flat[:, 1], c="r", marker="x", zorder=5,
+                        label="final anchors")
             plt.xlabel("w")
             plt.ylabel("h")
+            plt.legend(loc="lower right", fontsize=8)
             plt.savefig(f"data/{args.train_set}_anchor.png")
             print(NOTE, f"anchor plot saved to data/{args.train_set}_anchor.png")
         except ImportError:

@@ -66,3 +66,25 @@ def test_empty_cluster_gives_nan_like_reference():
     # an emptied cluster poisons the result with NaN -> the CLI warns
     # "please Rerun" exactly like make_anchor_list.py:216-217
     assert np.isnan(np.asarray(cents)).any()
+
+
+def test_kmeans_history_and_sink():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0.05, 0.9, (60, 2)).astype(np.float32))
+    init = jnp.asarray(rng.uniform(0.1, 0.8, (4, 2)).astype(np.float32))
+    cents, _, hist = kmeans_iou(x, init, iters=7, return_history=True)
+    assert hist.shape == (7, 4, 2)
+    np.testing.assert_array_equal(np.asarray(hist[-1]), np.asarray(cents))
+
+    ann = _ann(50, seed=2)
+    sink = []
+    anchors = generate_anchors(ann, (224, 320), layers=2, anchor_num=3, seed=5,
+                               is_random=False, history_sink=sink)
+    assert len(sink) == 1
+    pts, hist = sink[0]
+    assert pts.ndim == 2 and pts.shape[1] == 2
+    assert hist.shape[1:] == (6, 2)
+    # final history frame holds the (unsorted) winning centroids
+    got = np.array(sorted(hist[-1].tolist()))
+    want = np.array(sorted(anchors.reshape(-1, 2).tolist()))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
