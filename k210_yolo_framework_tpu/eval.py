@@ -139,16 +139,18 @@ def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
 
     record = DetectionRecord(class_num)
     n = len(ann_list)
-    for start in range(0, n - n % batch_size + (batch_size if n % batch_size else 0),
-                       batch_size):
-        rows = [ann_list[min(i, n - 1)] for i in range(start, start + batch_size)]
+    for start in range(0, n, batch_size):
+        rows = [ann_list[i] for i in range(start, min(start + batch_size, n))]
         canvases, hws = zip(*(_stage_image(read_image(str(r[0])), canvas_hw)
                               for r in rows))
-        dets = predictor.predict_batch(np.stack(canvases), np.stack(hws))
+        canvases, hws = np.stack(canvases), np.stack(hws)
+        if len(rows) < batch_size:  # pad the tail to the compiled batch shape
+            pad = batch_size - len(rows)
+            canvases = np.concatenate([canvases, np.repeat(canvases[-1:], pad, 0)])
+            hws = np.concatenate([hws, np.repeat(hws[-1:], pad, 0)])
+        dets = predictor.predict_batch(canvases, hws)
         for k, (row, det) in enumerate(zip(rows, dets)):
             i = start + k
-            if i >= n:
-                break
             h, w = hws[k]
             gt = np.asarray(row[1], float)
             # normalized (cls, cx, cy, w, h) -> pixel yxyx at the STAGED size

@@ -70,4 +70,6 @@ def test_overfit_recalibrate_map(tmp_path):
     pred = Predictor(net, variables, spec, obj_thresh=0.1, iou_thresh=0.45,
                      max_out=20)
     res = evaluate_map(pred, ann, classes, batch_size=n_img)
-    assert res["map"] > 0.5, f"mAP after overfit+recalibrate = {res['map']}"
+    # pinned regression floor — measured 0.91 in round 1; the floor leaves
+    # seed/backend headroom but catches any real quality regression
+    assert res["map"] > 0.8, f"mAP after overfit+recalibrate = {res['map']}"

@@ -6,14 +6,19 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from k210_yolo_framework_tpu.config import TrainConfig, voc_spec
+from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
 from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.ops import codec as C
 from k210_yolo_framework_tpu.parallel import make_mesh, batch_sharding
 from k210_yolo_framework_tpu.training import pruning as P
 from k210_yolo_framework_tpu.training import train as T
 
-SPEC = voc_spec()
+# small spec (96x96 -> 3x3/6x6 grids, 6 classes): full VOC-sized tiny_yolo
+# on the CPU test mesh costs minutes of XLA compile for no extra coverage
+SPEC = YoloSpec.create(
+    (96, 96), ((3, 3), (6, 6)), 6,
+    np.array([[[0.7, 0.6], [0.5, 0.5], [0.4, 0.3]],
+              [[0.3, 0.3], [0.2, 0.2], [0.1, 0.1]]]))
 
 
 def _net():
@@ -22,7 +27,7 @@ def _net():
 
 def _batch(rng, batch=4):
     boxes = np.concatenate([
-        rng.integers(0, 20, (batch, 4, 1)).astype(np.float32),
+        rng.integers(0, SPEC.class_num, (batch, 4, 1)).astype(np.float32),
         rng.uniform(0.2, 0.8, (batch, 4, 2)),
         rng.uniform(0.1, 0.4, (batch, 4, 2))], -1).astype(np.float32)
     valid = np.ones((batch, 4), bool)
