@@ -97,10 +97,15 @@ class DataPipeline:
     """
 
     def __init__(self, ann_list: np.ndarray, batch_size: int, seed: int,
-                 canvas_hw=CANVAS_HW, num_workers: int = 8, prefetch: int = 4,
-                 use_native: Optional[bool] = None):
+                 canvas_hw=CANVAS_HW, num_workers: Optional[int] = None,
+                 prefetch: int = 4, use_native: Optional[bool] = None):
         if len(ann_list) == 0:
             raise ValueError("empty annotation list")
+        if num_workers is None:
+            # decode is CPU-bound: more threads than cores only adds
+            # context-switch thrash (this rig has a single visible core)
+            import os
+            num_workers = min(8, max(2, os.cpu_count() or 1))
         self.ann_list = ann_list
         self.batch_size = batch_size
         self.seed = seed
@@ -150,7 +155,11 @@ class DataPipeline:
             yield from self._iter_native()
             return
         stream = self._index_stream()
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        # no context manager: when the consumer drops an infinite generator,
+        # __exit__'s blocking join would run during GeneratorExit/interpreter
+        # teardown and die noisily — shut down non-blocking instead
+        pool = ThreadPoolExecutor(self.num_workers)
+        try:
             pending = []
             def submit_batch():
                 idxs = [next(stream) for _ in range(self.batch_size)]
@@ -164,6 +173,8 @@ class DataPipeline:
                 items = [f.result() for f in futs]
                 canvases, img_hws, boxes, valid = (np.stack(x) for x in zip(*items))
                 yield HostBatch(canvases, img_hws, boxes, valid)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def synthetic_ann_list(tmpdir: str, n: int = 24, class_num: int = 20,
@@ -175,7 +186,15 @@ def synthetic_ann_list(tmpdir: str, n: int = 24, class_num: int = 20,
     for i in range(n):
         h = int(rng.integers(200, 500))
         w = int(rng.integers(200, 500))
-        img = (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
+        # photo-like content (smooth fields + mild noise), NOT uniform noise:
+        # noise JPEGs are a Huffman-decode worst case ~3x slower than real
+        # photos, which would skew any loader benchmark pessimistic
+        yy = np.linspace(0, 3 * np.pi, h)[:, None]
+        xx = np.linspace(0, 3 * np.pi, w)[None, :]
+        phase = rng.uniform(0, np.pi, (3,))
+        base = np.stack([np.sin(yy + p) * np.cos(xx - p) for p in phase], -1)
+        img = ((base * 0.5 + 0.5) * 220 + rng.normal(0, 6, (h, w, 3)))
+        img = np.clip(img, 0, 255).astype(np.uint8)
         path = f"{tmpdir}/img_{i}.jpg"
         Image.fromarray(img).save(path, quality=90)
         nb = int(rng.integers(1, 6))

@@ -148,11 +148,6 @@ class Predictor:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
         from k210_yolo_framework_tpu.parallel.mesh import DATA_AXIS
 
         variables = jax.device_put(self.variables, NamedSharding(mesh, P()))
@@ -160,11 +155,21 @@ class Predictor:
         def local(canvases, img_hws):
             return self._run_batch(variables, canvases, img_hws)
 
-        sharded = shard_map(
-            local, mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS),
-            check_rep=False)
+        # jax.shard_map (>= 0.9: keyword-only, check_vma); fall back to the
+        # experimental module with its older check_rep spelling
+        try:
+            sharded = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False)
+        except (AttributeError, TypeError):
+            from jax.experimental.shard_map import shard_map
+            sharded = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_rep=False)
         return jax.jit(sharded)
 
     def predict_batch(self, canvases: np.ndarray, img_hws: np.ndarray) -> List[Detections]:

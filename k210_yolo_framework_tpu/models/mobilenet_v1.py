@@ -41,12 +41,14 @@ class _DWBlock(nn.Module):
     filters: int
     strides: Tuple[int, int]
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         explicit = ((1, 1), (1, 1)) if self.strides == (2, 2) else None
         x = ConvBN(features=0, kernel=(3, 3), strides=self.strides,
                    explicit_pad=explicit, act=nn.relu, depthwise=True,
+                   safe_dw_grad=self.safe_dw_grad,
                    dtype=self.dtype, name="dw")(x, train)
         x = ConvBN(features=self.filters, kernel=(1, 1), act=leaky_relu(0.3),
                    dtype=self.dtype, name="pw")(x, train)
@@ -58,6 +60,7 @@ class MobileNetV1(nn.Module):
 
     alpha: float = 1.0
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -69,11 +72,13 @@ class MobileNetV1(nn.Module):
         # Block 1: the K210 mod — 40 if alpha == 1 else 64 (line 217).
         block1_filters = 40 if a == 1.0 else 64
         x = _DWBlock(filters=int(block1_filters * a), strides=(1, 1),
-                     dtype=self.dtype, name="block_1")(x, train)
+                     dtype=self.dtype, safe_dw_grad=self.safe_dw_grad,
+                     name="block_1")(x, train)
         tap16 = None
         for i, (f, s) in enumerate(_BLOCKS, start=2):
             x = _DWBlock(filters=int(f * a), strides=(s, s),
-                         dtype=self.dtype, name=f"block_{i}")(x, train)
+                         dtype=self.dtype, safe_dw_grad=self.safe_dw_grad,
+                         name=f"block_{i}")(x, train)
             if i == 11:  # 'conv_pw_11_relu' tap (yolonet.py:23)
                 tap16 = x
         return tap16, x

@@ -61,6 +61,7 @@ class _InvertedResBlock(nn.Module):
     block_id: int
     expand_channel: Optional[int] = None
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,6 +79,7 @@ class _InvertedResBlock(nn.Module):
         explicit = ((1, 1), (1, 1)) if self.stride == 2 else None
         x = ConvBN(features=0, kernel=(3, 3), strides=(self.stride, self.stride),
                    explicit_pad=explicit, act=relu6, depthwise=True,
+                   safe_dw_grad=self.safe_dw_grad,
                    dtype=self.dtype, name="depthwise", **_BN)(x, train)
         x = ConvBN(features=pointwise_filters, kernel=(1, 1), act=None,
                    dtype=self.dtype, name="project", **_BN)(x, train)
@@ -92,6 +94,7 @@ class MobileNetV2(nn.Module):
 
     alpha: float = 1.0
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,6 +114,7 @@ class MobileNetV2(nn.Module):
             x, expand_out = _InvertedResBlock(
                 filters=f, stride=s, expansion=e, alpha=a, block_id=bid,
                 expand_channel=expand_channel, dtype=self.dtype,
+                safe_dw_grad=self.safe_dw_grad,
                 name=f"block_{bid}")(x, train)
             if bid == 13:  # 'block_13_expand_relu' tap (yolonet.py:83)
                 tap16 = expand_out

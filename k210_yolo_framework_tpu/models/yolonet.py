@@ -65,10 +65,12 @@ class YoloMobileV1(nn.Module):
     class_num: int
     alpha: float = 0.75
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         tap16, trunk = MobileNetV1(alpha=self.alpha, dtype=self.dtype,
+                                   safe_dw_grad=self.safe_dw_grad,
                                    name="backbone")(x, train)
         out = self.anchor_num * (self.class_num + 5)
         return _TwoScaleHead(out_channels=out,
@@ -85,10 +87,12 @@ class YoloMobileV2(nn.Module):
     class_num: int
     alpha: float = 1.0
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         tap16, trunk = MobileNetV2(alpha=self.alpha, dtype=self.dtype,
+                                   safe_dw_grad=self.safe_dw_grad,
                                    name="backbone")(x, train)
         out = self.anchor_num * (self.class_num + 5)
         w = 128 if self.alpha > 0.7 else 192
@@ -103,6 +107,7 @@ class TinyYolo(nn.Module):
     class_num: int
     alpha: float = 1.0  # unused; uniform builder signature
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True  # no depthwise convs here; uniform signature
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,6 +124,7 @@ class Yolo(nn.Module):
     class_num: int
     alpha: float = 1.0  # unused; uniform builder signature
     dtype: Any = jnp.float32
+    safe_dw_grad: bool = True  # no depthwise convs here; uniform signature
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,11 +189,19 @@ class YoloNet:
 
 
 def build_network(model_def: str, in_hw, anchor_num: int, class_num: int,
-                  alpha: float = 1.0, dtype=jnp.float32) -> YoloNet:
+                  alpha: float = 1.0, dtype=jnp.float32,
+                  safe_dw_grad: bool = True) -> YoloNet:
     """Select a builder by name — the reference's ``eval(model_def)``
-    (keras_train.py:49) without the eval."""
+    (keras_train.py:49) without the eval.
+
+    ``safe_dw_grad``: keep True (default) on any mesh with a model/TP axis —
+    see layers.DepthwiseConv; False skips the partitioner-safe depthwise
+    kernel gradient's extra HBM reads where the stock one is provably
+    correct (single device / pure DP).
+    """
     if model_def not in NETWORKS:
         raise KeyError(f"unknown model_def {model_def!r}; have {sorted(NETWORKS)}")
     module = NETWORKS[model_def](anchor_num=anchor_num, class_num=class_num,
-                                 alpha=alpha, dtype=dtype)
+                                 alpha=alpha, dtype=dtype,
+                                 safe_dw_grad=safe_dw_grad)
     return YoloNet(module=module, anchor_num=anchor_num, class_num=class_num, in_hw=tuple(in_hw))

@@ -75,9 +75,14 @@ def main(args):
 
     import jax.numpy as jnp
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.compute_dtype]
+    # the partitioner-safe depthwise kernel gradient is only needed when a
+    # model/TP mesh axis exists (see models.layers.DepthwiseConv); single
+    # device and pure DP use the cheaper stock gradient
+    uses_tp = bool(args.mesh) and args.mesh != "auto" and \
+        int(args.mesh.split(",")[1]) > 1
     net = build_network(args.model_def, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=args.depth_multiplier,
-                        dtype=dtype)
+                        dtype=dtype, safe_dw_grad=uses_tp)
     state = T.create_train_state(net, cfg, jax.random.PRNGKey(cfg.rand_seed))
 
     if args.pre_ckpt and args.pre_ckpt not in ("None", ""):
