@@ -128,7 +128,8 @@ def export_serving_stablehlo(predictor, batch: int = 1,
 
 def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
            batch: int = 1, tflite: bool = True,
-           tflite_int8: bool = False) -> Dict[str, str]:
+           tflite_int8: bool = False,
+           rep_images: Optional[np.ndarray] = None) -> Dict[str, str]:
     """Write all export artifacts; returns {artifact: path}."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -154,8 +155,12 @@ def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
             tfl_path.write_bytes(export_tflite(net, variables, batch))
             arts["tflite"] = str(tfl_path)
             if tflite_int8:
+                # with rep_images: full int8 (the nncase --dataset recipe);
+                # without: dynamic-range (weights-only)
                 q_path = out / "yolo_model_int8.tflite"
-                q_path.write_bytes(export_tflite(net, variables, batch, int8=True))
+                q_path.write_bytes(export_tflite(net, variables, batch,
+                                                 int8=True,
+                                                 rep_images=rep_images))
                 arts["tflite_int8"] = str(q_path)
         except ImportError:
             print("NOTE: tensorflow unavailable — skipping .tflite artifact "

@@ -46,7 +46,9 @@ def main(args):
     pred = Predictor(net, variables, spec, obj_thresh=args.obj_thresh,
                      iou_thresh=args.iou_thresh, max_out=args.max_out,
                      compute_dtype=jnp.bfloat16
-                     if str(args.bf16).lower() == "true" else jnp.float32)
+                     if str(args.bf16).lower() == "true" else jnp.float32,
+                     quantize="int8" if str(args.quantize).lower()
+                     in ("true", "int8") else None)
     ann = load_ann_list(f"data/{args.train_set}_img_ann.npy")
     if args.limit:
         ann = ann[:args.limit]
@@ -95,6 +97,10 @@ def parse_args(argv):
                         help="bf16 conv compute; default fp32 keeps exact "
                              "training-time numerics (bf16 can shift an "
                              "overfit/borderline model's detections)")
+    parser.add_argument("--quantize", type=str, default="False",
+                        help="int8: serve from per-channel int8 conv kernels "
+                             "(the reference's kmodel quantization story) — "
+                             "measures the mAP cost of quantized serving")
     parser.add_argument("--limit", type=int, default=0)
     return parser.parse_args(argv)
 

@@ -34,10 +34,30 @@ def main(args):
         restored = CK.restore_state(args.pre_ckpt, jax.device_get(state))
         variables = {"params": restored.params, "batch_stats": restored.batch_stats}
 
+    rep_images = None
+    if args.tflite_dataset:
+        # calibration set for full-int8 PTQ — the nncase `--dataset` analogue
+        # (/root/reference/README.md:152-154)
+        import numpy as np
+        from PIL import Image
+
+        paths = sorted(p for p in Path(args.tflite_dataset).iterdir()
+                       if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp"))
+        if not paths:
+            raise SystemExit(f"no images in --tflite_dataset {args.tflite_dataset}")
+        rep_images = np.stack([
+            np.asarray(Image.open(p).convert("RGB")
+                       .resize((spec.in_hw[1], spec.in_hw[0])),
+                       np.float32) / 255.0
+            for p in paths[:64]])
+        print(NOTE, f"full-int8 calibration over {len(rep_images)} images")
+
     out_dir = args.out_dir or str(Path(args.pre_ckpt).parent / "Freeze_save")
     arts = freeze(net, variables, spec, out_dir,
                   tflite=str(args.tflite).lower() == "true",
-                  tflite_int8=str(args.tflite_int8).lower() == "true")
+                  tflite_int8=str(args.tflite_int8).lower() == "true"
+                  or rep_images is not None,
+                  rep_images=rep_images)
     print(NOTE, f"export artifacts: {arts}")
 
 
@@ -55,6 +75,10 @@ def parse_arguments(argv):
                         help="write yolo_model.tflite (reference freeze product)")
     parser.add_argument("--tflite_int8", type=str, default="False",
                         help="also write a dynamic-range int8 .tflite")
+    parser.add_argument("--tflite_dataset", type=str, default=None,
+                        help="directory of calibration images -> FULL int8 "
+                             ".tflite (the reference's `ncc --dataset` step, "
+                             "README.md:152-154); implies --tflite_int8")
     return parser.parse_args(argv)
 
 
