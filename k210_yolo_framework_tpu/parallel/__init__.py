@@ -2,6 +2,7 @@
 
 from k210_yolo_framework_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    image_sharding,
     make_mesh,
     param_shardings,
     replicated,

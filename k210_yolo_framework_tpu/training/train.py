@@ -250,7 +250,7 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                     jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
                 if mesh is not None:
                     bs = pmesh.batch_sharding(mesh)
-                    images = jax.device_put(images, bs)
+                    images = jax.device_put(images, pmesh.image_sharding(mesh))
                     labels = tuple(jax.device_put(l, bs) for l in labels)
                 state, logs = train_step(state, images, labels)
                 if tracing:

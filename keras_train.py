@@ -79,7 +79,8 @@ def main(args):
     # model/TP mesh axis exists (see models.layers.DepthwiseConv); single
     # device and pure DP use the cheaper stock gradient
     uses_tp = bool(args.mesh) and args.mesh != "auto" and \
-        int(args.mesh.split(",")[1]) > 1
+        int(args.mesh.split(",")[1]) > 1  # sp (3rd axis) shards the dw-conv
+    # operands themselves, so the stock gradient reduces correctly there
     net = build_network(args.model_def, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=args.depth_multiplier,
                         dtype=dtype, safe_dw_grad=uses_tp)
@@ -121,13 +122,14 @@ def main(args):
         tb.add_scalars(list(logs.items()), step)
 
     mesh = None
-    if args.mesh:  # "dp,mp" over jax.devices(); "auto" = all-DP
+    if args.mesh:  # "dp,mp[,sp]" over jax.devices(); "auto" = all-DP
         from k210_yolo_framework_tpu.parallel import make_mesh
         if args.mesh == "auto":
             mesh = make_mesh()
         else:
-            dp, mp = (int(x) for x in args.mesh.split(","))
-            mesh = make_mesh(dp=dp, mp=mp)
+            dims = [int(x) for x in args.mesh.split(",")]
+            dp, mp, sp = dims + [1] * (3 - len(dims))
+            mesh = make_mesh(dp=dp, mp=mp, sp=sp)
         print(INFO, f"mesh {dict(mesh.shape)} over {len(jax.devices())} devices")
 
     state = T.fit(
@@ -199,8 +201,9 @@ def parse_args(argv):
                              "with arithmetic means over N train batches "
                              "(SWA update_bn recipe; helps small datasets)")
     parser.add_argument("--mesh", type=str, default="",
-                        help="'dp,mp' or 'auto' — shard training over a "
-                             "device mesh (DP batch + channel TP)")
+                        help="'dp,mp[,sp]' or 'auto' — shard training over a "
+                             "device mesh (DP batch + channel TP + spatial "
+                             "partitioning of image H)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="conv-stack compute dtype (params/loss stay "

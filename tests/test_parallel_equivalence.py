@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
 from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.ops import codec as C
-from k210_yolo_framework_tpu.parallel import batch_sharding, make_mesh
+from k210_yolo_framework_tpu.parallel import batch_sharding, image_sharding, \
+    make_mesh
 from k210_yolo_framework_tpu.training import loss as L
 from k210_yolo_framework_tpu.training import train as T
 
@@ -46,9 +47,10 @@ def _cfg(prune=False):
                        prune_frequency=1)
 
 
-def _net():
+def _net(safe_dw_grad=True):
     return build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
-                         SPEC.class_num, alpha=0.25)
+                         SPEC.class_num, alpha=0.25,
+                         safe_dw_grad=safe_dw_grad)
 
 
 def _batch():
@@ -75,10 +77,10 @@ def _loss_fn(net, cfg):
     return loss_fn
 
 
-def _run(prune, mesh=None, permute=False):
+def _run(prune, mesh=None, permute=False, safe_dw_grad=True):
     """Returns (init grads, params after NSTEPS, per-step losses)."""
     cfg = _cfg(prune)
-    net = _net()
+    net = _net(safe_dw_grad)
     state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
     if mesh is not None:
         state = T.shard_state(state, mesh)
@@ -90,7 +92,7 @@ def _run(prune, mesh=None, permute=False):
         labels = tuple(l[perm] for l in labels)
     if mesh is not None:
         bs = batch_sharding(mesh)
-        images = jax.device_put(images, bs)
+        images = jax.device_put(images, image_sharding(mesh))
         labels = tuple(jax.device_put(l, bs) for l in labels)
 
     grads = jax.jit(jax.grad(_loss_fn(net, cfg)))(
@@ -126,12 +128,16 @@ def _rel_l1(a, b):
     return worst
 
 
-@pytest.mark.parametrize("dp,mp,prune", [(8, 1, False), (4, 2, False), (4, 2, True)],
-                         ids=["dp8", "dp4tp2", "dp4tp2-prune"])
-def test_sharded_step_matches_single_device(dp, mp, prune):
+@pytest.mark.parametrize(
+    "dp,mp,sp,prune",
+    [(8, 1, 1, False), (4, 2, 1, False), (4, 2, 1, True),
+     (4, 1, 2, False), (2, 2, 2, False)],
+    ids=["dp8", "dp4tp2", "dp4tp2-prune", "dp4sp2", "dp2tp2sp2"])
+def test_sharded_step_matches_single_device(dp, mp, sp, prune):
     assert jax.device_count() == 8
     ref_grads, ref_params, ref_losses = _cached(("single", prune), prune)
-    got_grads, got_params, got_losses = _run(prune, mesh=make_mesh(dp=dp, mp=mp))
+    got_grads, got_params, got_losses = _run(
+        prune, mesh=make_mesh(dp=dp, mp=mp, sp=sp))
 
     # forward parity: step-1 loss to reduction-reorder noise
     np.testing.assert_allclose(got_losses[0], ref_losses[0], rtol=1e-5)
@@ -157,3 +163,25 @@ def test_sharded_step_matches_single_device(dp, mp, prune):
                            / np.asarray(ref_losses)))
     np.testing.assert_allclose(got_losses, ref_losses,
                                rtol=max(5e-3, 10 * ctl_dev))
+
+
+def test_stock_dw_grad_correct_on_pure_sp_mesh():
+    """keras_train gates the partitioner-safe depthwise gradient to TP
+    meshes only; spatial partitioning shards the dw-conv OPERANDS, so the
+    stock gradient's psum over 'space' must come out unscaled.  This pins
+    that gating decision against the XLA partitioner bug (see
+    models/layers.py depthwise custom VJP)."""
+    assert jax.device_count() == 8
+    ref_grads, _, ref_losses = _cached(("single-stock", False), False,
+                                       safe_dw_grad=False)
+    got_grads, _, got_losses = _run(False, mesh=make_mesh(dp=4, sp=2),
+                                    safe_dw_grad=False)
+    np.testing.assert_allclose(got_losses[0], ref_losses[0], rtol=1e-5)
+    ctl_grads, _, _ = _cached(("control", False), False, permute=True)
+    sref_grads, _, _ = _cached(("single", False), False)
+    g_floor = max(_rel_l1(ctl_grads, sref_grads), 1e-6)
+    g_err = _rel_l1(got_grads, ref_grads)
+    assert g_err < 10 * g_floor, (
+        f"stock dw grad diverges on sp mesh: {g_err:.4f} vs floor {g_floor:.4f}"
+        " — a factor-level error here means the partitioner bug also applies"
+        " to the space axis and keras_train must gate safe_dw_grad on sp")
