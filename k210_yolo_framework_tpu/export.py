@@ -101,17 +101,21 @@ def export_serving_stablehlo(predictor, batch: int = 1,
 
     spec = predictor.spec
     canvas_hw = canvas_hw or spec.in_hw
-    # materialize int8 QTensor kernels so the artifact is self-contained
-    net, variables = predictor.net, predictor._materialize(predictor.variables)
+    # For a quantized predictor the artifact keeps the INT8 kernels as its
+    # constants — dequantization happens inside the exported program, so the
+    # serialized serving program is ~4x smaller and deploys the same int8
+    # weights the predictor serves from (the kmodel deployment story).
+    net, variables = predictor.net, predictor.variables
 
     def serve(canvases_u8, img_hws):
+        variables_m = predictor._materialize(variables)
         def one(canvas, hw):
             img = LB.letterbox_image(canvas, hw, spec.in_hw,
                                      dtype=predictor.compute_dtype)
             return LB.normalize_image(img).astype(predictor.compute_dtype)
 
         imgs = jax.vmap(one)(canvases_u8, img_hws)
-        preds = net.apply(variables, imgs)
+        preds = net.apply(variables_m, imgs)
 
         def decode_one(pred_list, hw):
             return D.decode_outputs(pred_list, spec, hw, predictor.class_softmax)

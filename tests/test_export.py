@@ -75,10 +75,56 @@ def test_serving_stablehlo_roundtrip():
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("name,layers", [("yolo_mobilev1", 2),
-                                         ("yolo_mobilev2", 2),
-                                         ("tiny_yolo", 2),
-                                         ("yolo", 3)])
+def test_serving_stablehlo_int8_keeps_quantized_weights():
+    """A quantized Predictor's serving artifact embeds the INT8 kernels
+    (dequant inside the program) — it must be much smaller than the fp32
+    artifact and replay the quantized math exactly."""
+    from k210_yolo_framework_tpu.export import export_serving_stablehlo
+    from k210_yolo_framework_tpu.inference import Predictor
+    from k210_yolo_framework_tpu.quantize import dequantize_tree
+
+    spec = _tiny_spec()
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.5)
+    variables = net.init(jax.random.PRNGKey(0))
+    fp = Predictor(net, variables, spec, obj_thresh=0.05,
+                   compute_dtype=jnp.float32)
+    q = Predictor(net, variables, spec, obj_thresh=0.05,
+                  compute_dtype=jnp.float32, quantize="int8")
+    blob_fp = export_serving_stablehlo(fp, batch=2)
+    blob_q = export_serving_stablehlo(q, batch=2)
+    assert len(blob_q) < 0.6 * len(blob_fp), (
+        f"int8 artifact {len(blob_q)} not much smaller than fp32 {len(blob_fp)}")
+
+    from jax import export as jexport
+    restored = jexport.deserialize(bytearray(blob_q))
+    rng = np.random.default_rng(0)
+    canv = jnp.asarray(rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8))
+    hws = jnp.asarray(np.tile([80, 96], (2, 1)).astype(np.int32))
+    _, scores, _, valid = restored.call(canv, hws)
+    # same math computed live from the dequantized tree (XLA-NMS flavor)
+    from k210_yolo_framework_tpu.ops import decode as D, letterbox as LB, nms as N
+    deq = {**q.variables, "params": dequantize_tree(q.variables["params"])}
+    def one(canvas, hw):
+        img = LB.letterbox_image(canvas, hw, spec.in_hw, dtype=jnp.float32)
+        return LB.normalize_image(img)
+    imgs = jax.vmap(one)(canv, hws)
+    preds = net.apply(deq, imgs)
+    b, s = jax.vmap(lambda p0, p1, hw: D.decode_outputs([p0, p1], spec, hw, False))(
+        preds[0], preds[1], hws)
+    want = N.batched_nms(b, s, 0.05, q.iou_thresh, q.max_out)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(want.valid))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(want.scores),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,layers",
+    [("yolo_mobilev1", 2),
+     ("yolo_mobilev2", 2),
+     ("tiny_yolo", 2),
+     # darknet53's grad compile is ~2 min alone on this 1-core rig — slow shard
+     pytest.param("yolo", 3, marks=pytest.mark.slow)])
 def test_all_builders_one_train_step(name, layers):
     spec = _tiny_spec(layers)
     cfg = TrainConfig(batch_size=2)

@@ -152,6 +152,7 @@ def test_port_tiny_yolo_coco_head_slice(tmp_path):
     assert outs[0].shape == (1, 3, 4, 3, 25)
 
 
+@pytest.mark.slow  # darknet53 build+apply ~40s alone on the 1-core rig
 def test_port_yolo_min_shape_transplant(tmp_path):
     """darknet53 partial transplant (yolonet.py:182-189): the overlapping
     min-shape block is copied, our init survives outside it."""
