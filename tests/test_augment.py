@@ -96,6 +96,64 @@ def test_batched_augment_deterministic():
                for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o3)))
 
 
+def test_shear_passes_match_gather_oracle():
+    """Each gather-free shear pass is EXACT two-tap bilinear: it must match
+    the gather-based oracle on the same shear matrix to fp tolerance."""
+    img = _img(32, 48)
+    h, w = 32, 48
+    a = 0.061  # some non-integer shear slope
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0
+    got = A._shear_x(img, a * ys, bound=4)
+    # forward shear x' = x + a*(y - cy) in continuous coords
+    fwd = jnp.asarray([[1.0, a, -a * h / 2.0], [0, 1, 0], [0, 0, 1]])
+    want = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    b = -0.113
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - w / 2.0
+    got = A._shear_y(img, b * xs, bound=4)
+    fwd = jnp.asarray([[1.0, 0, 0], [b, 1, -b * w / 2.0], [0, 0, 1]])
+    want = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_translate_bilinear_matches_gather_oracle():
+    img = _img(32, 48)
+    tx, ty = jnp.float32(2.7), jnp.float32(-1.3)
+    got = A._translate_bilinear(img, tx, ty)
+    fwd = jnp.asarray([[1.0, 0, tx], [0, 1, ty], [0, 0, 1]])
+    want = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_rotate_3shear_close_to_direct_bilinear():
+    """The 3-shear rotation interpolates three times, so it is not bitwise
+    equal to one direct bilinear — but on a smooth image the two must agree
+    closely, and exactly at theta=0."""
+    h, w = 64, 64
+    yy, xx = np.meshgrid(np.linspace(0, 3, h), np.linspace(0, 3, w),
+                         indexing="ij")
+    smooth = np.stack([np.sin(yy) * np.cos(xx)] * 3, -1).astype(np.float32) * 100
+    img = jnp.asarray(smooth)
+
+    out0 = A._rotate_3shear(img, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out0), smooth, atol=1e-3)
+
+    theta = jnp.deg2rad(jnp.float32(8.0))
+    got = A._rotate_3shear(img, theta)
+    c, s = np.cos(float(theta)), np.sin(float(theta))
+    cx, cy = w / 2.0, h / 2.0
+    fwd = jnp.asarray([[c, -s, cx - c * cx + s * cy],
+                       [s, c, cy - s * cx - c * cy],
+                       [0, 0, 1]], jnp.float32)
+    want = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
+    # compare away from the zero-filled borders
+    g = np.asarray(got)[10:-10, 10:-10]
+    v = np.asarray(want)[10:-10, 10:-10]
+    assert np.abs(g - v).mean() < 0.5          # values span ~[-100, 100]
+    assert np.abs(g - v).max() < 6.0
+
+
 def test_branch_distribution_covers_all_three():
     """Over many keys each OneOf branch must occur (utils.py:84-88)."""
     img = jnp.ones((16, 16, 3), jnp.float32)
