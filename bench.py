@@ -18,6 +18,10 @@ Default mode prints ONE json line — the BASELINE.md north-star metric —
   train               chained train-step loop (batch 64, bf16 conv compute,
                       fp32 loss/params): imgs/sec, ms/step and an MFU
                       estimate from XLA's own FLOP count.
+  train_e2e           train step PLUS the full on-device preprocessing
+                      (512-canvas letterbox + OneOf augment + /max + label
+                      encode, bf16 pixel path) per step — the honest
+                      device-side training rate.
   all                 every mode, one json line each.
 
 Methodology (serve modes): each iteration's input depends on the previous
@@ -216,10 +220,67 @@ def bench_train():
     return out
 
 
+def bench_train_e2e():
+    """Preprocess + train step chained: the device-side cost of one REAL
+    training step (the `train` mode feeds pre-made images).  Canvases stay
+    resident on device (host decode/transfer is the `loader` mode's job)."""
+    import jax
+    import jax.numpy as jnp
+
+    from k210_yolo_framework_tpu.config import TrainConfig, voc_spec
+    from k210_yolo_framework_tpu.data import pipeline as PL
+    from k210_yolo_framework_tpu.models import build_network
+    from k210_yolo_framework_tpu.training import train as T
+
+    batch = 64
+    spec = voc_spec()
+    cfg = TrainConfig(batch_size=batch)
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.75, dtype=jnp.bfloat16,
+                        safe_dw_grad=False)
+    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    step = T.make_train_step(net, spec, cfg, train_epoch_step=100)
+    pp = PL.make_preprocess_fn(spec, is_training=True, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    canv = jnp.asarray(rng.integers(0, 256, (batch, 512, 512, 3)).astype(np.uint8))
+    hws = jnp.asarray(np.tile([360, 480], (batch, 1)).astype(np.int32))
+    boxes = jnp.asarray(np.concatenate([
+        rng.integers(0, 20, (batch, 64, 1)).astype(np.float32),
+        rng.uniform(0.2, 0.8, (batch, 64, 2)),
+        rng.uniform(0.1, 0.4, (batch, 64, 2))], -1).astype(np.float32))
+    valid = jnp.asarray(np.zeros((batch, 64), bool)).at[:, :4].set(True)
+
+    def one_step(state, key):
+        key, sk = jax.random.split(key)
+        images, labels = pp(canv, hws, boxes, valid, sk)
+        state, logs = step(state, images, labels)
+        return state, logs, key
+
+    key = jax.random.PRNGKey(1)
+    state, logs, key = one_step(state, key)      # warmup/compile
+    jax.block_until_ready(logs["loss"])
+
+    iters, best = 30, float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, logs, key = one_step(state, key)
+        _ = float(logs["loss"])                  # completion barrier
+        best = min(best, time.perf_counter() - t0)
+
+    v = batch * iters / best
+    return {"metric": "train_e2e_imgs_per_sec_per_chip",
+            "value": round(v, 1), "unit": "imgs/sec",
+            "vs_baseline": round(v / 4400.0, 4),
+            "ms_per_step": round(best / iters * 1e3, 2), "batch": batch}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
-                    choices=["serve", "serve512", "loader", "train", "all"])
+                    choices=["serve", "serve512", "loader", "train",
+                             "train_e2e", "all"])
     mode = ap.parse_args().mode
     runs = {
         "serve": lambda: [bench_serve()],
@@ -227,10 +288,11 @@ def main():
             (512, 512), metric="e2e_infer_512canvas_imgs_per_sec_per_chip")],
         "loader": lambda: [bench_loader()],
         "train": lambda: [bench_train()],
+        "train_e2e": lambda: [bench_train_e2e()],
         "all": lambda: [bench_serve(),
                         bench_serve((512, 512),
                                     metric="e2e_infer_512canvas_imgs_per_sec_per_chip"),
-                        bench_loader(), bench_train()],
+                        bench_loader(), bench_train(), bench_train_e2e()],
     }
     for line in runs[mode]():
         print(json.dumps(line))

@@ -248,7 +248,10 @@ def augment_image_and_boxes(key: jax.Array, img: jnp.ndarray, boxes: jnp.ndarray
     3-shear rotation per image."""
     fwd, branch, do_flip, theta, (tx, ty) = _branch_matrices(
         key, (img.shape[0], img.shape[1]))
-    img_f = img.astype(jnp.float32)
+    # floating inputs keep their dtype (bf16 preprocess halves the shear
+    # bandwidth; uint8-sourced pixels fit bf16's 8-bit mantissa exactly)
+    img_f = img if jnp.issubdtype(img.dtype, jnp.floating) \
+        else img.astype(jnp.float32)
     flip_img = jnp.where(do_flip, img_f[:, ::-1, :], img_f)
     rot_img = _rotate_3shear(img_f, theta)
     tr_img = _translate_bilinear(img_f, tx, ty)

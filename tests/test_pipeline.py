@@ -88,6 +88,24 @@ def test_preprocess_train_mode_augments(ann):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i1b))
 
 
+def test_preprocess_bf16_pixels_fp32_labels(ann):
+    """dtype=bf16 speeds the pixel path; label/box math must stay fp32 and
+    EXACTLY match the fp32 pipeline's labels."""
+    pipe = PL.DataPipeline(ann, batch_size=4, seed=3, num_workers=2, prefetch=1)
+    hb = next(iter(pipe))
+    args = (jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+            jnp.asarray(hb.boxes), jnp.asarray(hb.valid), jax.random.PRNGKey(1))
+    i32, l32 = PL.make_preprocess_fn(SPEC, is_training=True)(*args)
+    i16, l16 = PL.make_preprocess_fn(SPEC, is_training=True,
+                                     dtype=jnp.bfloat16)(*args)
+    assert i16.dtype == jnp.bfloat16 and i32.dtype == jnp.float32
+    for a, b in zip(l32, l16):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # pixels equal to bf16 resolution (same math, lower precision)
+    np.testing.assert_allclose(np.asarray(i16, dtype=np.float32),
+                               np.asarray(i32), atol=0.02)
+
+
 def test_oversized_image_staged(ann, tmp_path):
     big = PL.synthetic_ann_list(str(tmp_path), n=1, seed=1)
     # fake an oversized source by staging manually
