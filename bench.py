@@ -10,6 +10,9 @@ Default mode prints ONE json line — the BASELINE.md north-star metric —
   serve512            same program on the production 512x512 staging canvas
                       (data/pipeline.py CANVAS_HW) — the honest letterbox
                       cost for the training-eval path.
+  serve_int8          serving from per-channel int8 conv kernels (the
+                      kmodel-analogue quantized path; HBM weight traffic
+                      quartered, dequant fused into the program).
   loader              sustained host->device serving over a synthetic
                       on-disk JPEG set: includes host JPEG decode (native
                       C++ loader when built), host->device transfer and
@@ -42,7 +45,7 @@ import numpy as np
 BASE_SERVE = 10000.0  # north-star target, imgs/sec/chip (BASELINE.md)
 
 
-def _demo_predictor(batch):
+def _demo_predictor(batch, quantize=None):
     import jax
     import jax.numpy as jnp
 
@@ -55,16 +58,17 @@ def _demo_predictor(batch):
                         spec.class_num, alpha=0.75)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0))
     pred = Predictor(net, variables, spec, obj_thresh=0.7, iou_thresh=0.3,
-                     compute_dtype=jnp.bfloat16)
+                     compute_dtype=jnp.bfloat16, quantize=quantize)
     return spec, pred
 
 
-def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip"):
+def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
+                quantize=None):
     import jax
     import jax.numpy as jnp
 
     batch = 256
-    _, pred = _demo_predictor(batch)
+    _, pred = _demo_predictor(batch, quantize=quantize)
     rng = np.random.default_rng(0)
     canvases = jnp.asarray(
         rng.integers(0, 256, (batch, *canvas_hw, 3)).astype(np.uint8))
@@ -279,13 +283,15 @@ def bench_train_e2e():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
-                    choices=["serve", "serve512", "loader", "train",
-                             "train_e2e", "all"])
+                    choices=["serve", "serve512", "serve_int8", "loader",
+                             "train", "train_e2e", "all"])
     mode = ap.parse_args().mode
     runs = {
         "serve": lambda: [bench_serve()],
         "serve512": lambda: [bench_serve(
             (512, 512), metric="e2e_infer_512canvas_imgs_per_sec_per_chip")],
+        "serve_int8": lambda: [bench_serve(
+            metric="e2e_infer_int8w_imgs_per_sec_per_chip", quantize="int8")],
         "loader": lambda: [bench_loader()],
         "train": lambda: [bench_train()],
         "train_e2e": lambda: [bench_train_e2e()],

@@ -228,6 +228,8 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
     eval_step = make_eval_step(net, spec, cfg)
     data_rng = jax.random.PRNGKey(cfg.rand_seed)
 
+    host_step = int(state.step)  # mirrors state.step without device syncs
+    pending_logs = []
     try:
         for epoch in range(cfg.max_epochs):
             state = state.replace(pr=M.init_pr_state())
@@ -236,7 +238,7 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
             for i in range(train_epoch_step):
                 # one-step profiler trace, the reference's TensorBoard
                 # profile_batch=3 (keras_train.py:92); view in xprof/perfetto.
-                tracing = profile_dir and int(state.step) + 1 == profile_step
+                tracing = profile_dir and host_step + 1 == profile_step
                 if tracing:
                     try:
                         jax.profiler.start_trace(profile_dir)
@@ -257,9 +259,16 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                     jax.block_until_ready(logs["loss"])
                     jax.profiler.stop_trace()
                     log_fn(f"profiler trace written to {profile_dir}")
-                if scalar_logger is not None:
-                    scalar_logger(int(state.step), {k: float(v) for k, v in logs.items()})
+                # Scalars stay on device until the 10-step print boundary:
+                # float() per step is a host sync that serializes dispatch
+                # against the tunnel/host latency every single step.
+                host_step += 1
+                pending_logs.append((host_step, logs))
                 if i % 10 == 0 or i == train_epoch_step - 1:
+                    if scalar_logger is not None:
+                        for s, lg in pending_logs:
+                            scalar_logger(s, {k: float(v) for k, v in lg.items()})
+                    pending_logs.clear()
                     log_fn(f"epoch {epoch + 1}/{cfg.max_epochs} step {i + 1}/{train_epoch_step} "
                            f"loss {float(logs['loss']):.4f} p {float(logs['p']):.4f} "
                            f"r {float(logs['r']):.4f}")
