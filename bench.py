@@ -44,6 +44,13 @@ import numpy as np
 
 BASE_SERVE = 10000.0  # north-star target, imgs/sec/chip (BASELINE.md)
 
+# Defaults = the reference demo config (README.md:61); --model_def /
+# --depth_multiplier / --batch_size measure any zoo model.
+MODEL_DEF = "yolo_mobilev1"
+ALPHA = 0.75
+SERVE_BATCH = 256
+TRAIN_BATCH = 64
+
 
 def _demo_predictor(batch, quantize=None):
     import jax
@@ -54,8 +61,8 @@ def _demo_predictor(batch, quantize=None):
     from k210_yolo_framework_tpu.models import build_network
 
     spec = voc_spec()
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.75)
+    net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=ALPHA)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0))
     pred = Predictor(net, variables, spec, obj_thresh=0.7, iou_thresh=0.3,
                      compute_dtype=jnp.bfloat16, quantize=quantize)
@@ -67,7 +74,7 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
     import jax
     import jax.numpy as jnp
 
-    batch = 256
+    batch = SERVE_BATCH
     _, pred = _demo_predictor(batch, quantize=quantize)
     rng = np.random.default_rng(0)
     canvases = jnp.asarray(
@@ -120,7 +127,7 @@ def bench_loader():
     from k210_yolo_framework_tpu.data.pipeline import (
         DataPipeline, synthetic_ann_list)
 
-    batch = 256
+    batch = SERVE_BATCH
     canvas_hw = (256, 320)  # serving tier
     _, pred = _demo_predictor(batch)
     tmp = tempfile.mkdtemp(prefix="bench_jpegs_")
@@ -165,12 +172,12 @@ def bench_train():
     from k210_yolo_framework_tpu.ops import codec as C
     from k210_yolo_framework_tpu.training import train as T
 
-    batch = 64
+    batch = TRAIN_BATCH
     spec = voc_spec()
     cfg = TrainConfig(batch_size=batch)
     # single chip: the stock depthwise grad is correct and cheaper
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.75, dtype=jnp.bfloat16,
+    net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=ALPHA, dtype=jnp.bfloat16,
                         safe_dw_grad=False)
     state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
     step = T.make_train_step(net, spec, cfg, train_epoch_step=100)
@@ -236,11 +243,11 @@ def bench_train_e2e():
     from k210_yolo_framework_tpu.models import build_network
     from k210_yolo_framework_tpu.training import train as T
 
-    batch = 64
+    batch = TRAIN_BATCH
     spec = voc_spec()
     cfg = TrainConfig(batch_size=batch)
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.75, dtype=jnp.bfloat16,
+    net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=ALPHA, dtype=jnp.bfloat16,
                         safe_dw_grad=False)
     state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
     step = T.make_train_step(net, spec, cfg, train_epoch_step=100)
@@ -281,11 +288,22 @@ def bench_train_e2e():
 
 
 def main():
+    global MODEL_DEF, ALPHA, SERVE_BATCH, TRAIN_BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
                     choices=["serve", "serve512", "serve_int8", "loader",
                              "train", "train_e2e", "all"])
-    mode = ap.parse_args().mode
+    ap.add_argument("--model_def", default=MODEL_DEF,
+                    help="any 2-output-layer builder under the VOC spec "
+                         "(yolo_mobilev1, yolo_mobilev2, tiny_yolo)")
+    ap.add_argument("--depth_multiplier", type=float, default=ALPHA)
+    ap.add_argument("--batch_size", type=int, default=0,
+                    help="override batch (serve default 256, train 64)")
+    args = ap.parse_args()
+    mode = args.mode
+    MODEL_DEF, ALPHA = args.model_def, args.depth_multiplier
+    if args.batch_size:
+        SERVE_BATCH = TRAIN_BATCH = args.batch_size
     runs = {
         "serve": lambda: [bench_serve()],
         "serve512": lambda: [bench_serve(
