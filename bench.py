@@ -13,6 +13,11 @@ Default mode prints ONE json line — the BASELINE.md north-star metric —
   serve_int8          serving from per-channel int8 conv kernels (the
                       kmodel-analogue quantized path; HBM weight traffic
                       quartered, dequant fused into the program).
+  serve_scan          the same serving program iterated K=8 times inside
+                      ONE dispatched program (lax.scan): amortizes the
+                      per-dispatch host/tunnel latency to show the pure
+                      device roofline the chip sustains when driven by a
+                      low-latency host.
   loader              sustained host->device serving over a synthetic
                       on-disk JPEG set: includes host JPEG decode (native
                       C++ loader when built), host->device transfer and
@@ -105,6 +110,45 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
     v = batch * iters / best
     return {"metric": metric, "value": round(v, 1), "unit": "imgs/sec",
             "vs_baseline": round(v / BASE_SERVE, 4)}
+
+
+def bench_serve_scan(canvas_hw=(240, 320), k=8):
+    """Device-roofline serving: K batches per dispatched program."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = SERVE_BATCH
+    _, pred = _demo_predictor(batch)
+    rng = np.random.default_rng(0)
+    canvases = jnp.asarray(
+        rng.integers(0, 256, (batch, *canvas_hw, 3)).astype(np.uint8))
+    img_hws = jnp.asarray(np.tile(canvas_hw, (batch, 1)).astype(np.int32))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(canv):
+        def body(c, _):
+            res = pred._run_batch(pred.variables, c, img_hws)
+            bump = (res.scores.sum() > 1e9).astype(jnp.uint8)
+            return c + bump, res.scores.sum()
+        canv, sums = jax.lax.scan(body, canv, None, length=k)
+        return canv, sums.sum()
+
+    canv, out = step(jnp.copy(canvases))
+    jax.block_until_ready(out)
+
+    iters, best = 8, float("inf")
+    for _ in range(3):
+        canv = jnp.copy(canvases)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            canv, out = step(canv)
+        _ = float(out)
+        best = min(best, time.perf_counter() - t0)
+
+    v = batch * k * iters / best
+    return {"metric": "device_roofline_infer_imgs_per_sec_per_chip",
+            "value": round(v, 1), "unit": "imgs/sec",
+            "vs_baseline": round(v / BASE_SERVE, 4), "scan_k": k}
 
 
 def bench_loader():
@@ -291,8 +335,8 @@ def main():
     global MODEL_DEF, ALPHA, SERVE_BATCH, TRAIN_BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
-                    choices=["serve", "serve512", "serve_int8", "loader",
-                             "train", "train_e2e", "all"])
+                    choices=["serve", "serve512", "serve_int8", "serve_scan",
+                             "loader", "train", "train_e2e", "all"])
     ap.add_argument("--model_def", default=MODEL_DEF,
                     help="any 2-output-layer builder under the VOC spec "
                          "(yolo_mobilev1, yolo_mobilev2, tiny_yolo)")
@@ -310,6 +354,7 @@ def main():
             (512, 512), metric="e2e_infer_512canvas_imgs_per_sec_per_chip")],
         "serve_int8": lambda: [bench_serve(
             metric="e2e_infer_int8w_imgs_per_sec_per_chip", quantize="int8")],
+        "serve_scan": lambda: [bench_serve_scan()],
         "loader": lambda: [bench_loader()],
         "train": lambda: [bench_train()],
         "train_e2e": lambda: [bench_train_e2e()],
