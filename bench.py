@@ -57,7 +57,7 @@ SERVE_BATCH = 256
 TRAIN_BATCH = 64
 
 
-def _demo_predictor(batch, quantize=None):
+def _demo_predictor(quantize=None):
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +80,7 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
     import jax.numpy as jnp
 
     batch = SERVE_BATCH
-    _, pred = _demo_predictor(batch, quantize=quantize)
+    _, pred = _demo_predictor(quantize=quantize)
     rng = np.random.default_rng(0)
     canvases = jnp.asarray(
         rng.integers(0, 256, (batch, *canvas_hw, 3)).astype(np.uint8))
@@ -118,7 +118,7 @@ def bench_serve_scan(canvas_hw=(240, 320), k=8):
     import jax.numpy as jnp
 
     batch = SERVE_BATCH
-    _, pred = _demo_predictor(batch)
+    _, pred = _demo_predictor()
     rng = np.random.default_rng(0)
     canvases = jnp.asarray(
         rng.integers(0, 256, (batch, *canvas_hw, 3)).astype(np.uint8))
@@ -173,7 +173,7 @@ def bench_loader():
 
     batch = SERVE_BATCH
     canvas_hw = (256, 320)  # serving tier
-    _, pred = _demo_predictor(batch)
+    _, pred = _demo_predictor()
     tmp = tempfile.mkdtemp(prefix="bench_jpegs_")
     try:
         ann = synthetic_ann_list(tmp, n=512, seed=0)
@@ -236,13 +236,11 @@ def bench_train():
     images = jnp.asarray(
         rng.uniform(0, 1, (batch, *spec.in_hw, 3)).astype(np.float32))
 
-    # XLA's own FLOP count for the step (forward+backward+update)
+    # XLA's own FLOP count for the step (forward+backward+update) — lower
+    # the SAME jitted step so the compilation is shared with the timed loop
     flops = None
     try:
-        lowered = jax.jit(
-            T.make_train_step(net, spec, cfg, train_epoch_step=100)
-        ).lower(state, images, labels)
-        cost = lowered.compile().cost_analysis()
+        cost = step.lower(state, images, labels).compile().cost_analysis()
         if cost:
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(c.get("flops", 0.0)) or None
@@ -361,6 +359,10 @@ def main():
         "all": lambda: [bench_serve(),
                         bench_serve((512, 512),
                                     metric="e2e_infer_512canvas_imgs_per_sec_per_chip"),
+                        bench_serve(
+                            metric="e2e_infer_int8w_imgs_per_sec_per_chip",
+                            quantize="int8"),
+                        bench_serve_scan(),
                         bench_loader(), bench_train(), bench_train_e2e()],
     }
     for line in runs[mode]():

@@ -153,12 +153,13 @@ def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
     CK.save_h5(str(h5_path), variables)
     arts["h5"] = str(h5_path)
 
-    if tflite:
+    if tflite or tflite_int8:
         try:
-            tfl_path = out / "yolo_model.tflite"
-            tfl_path.write_bytes(export_tflite(net, variables, batch))
-            arts["tflite"] = str(tfl_path)
-            if tflite_int8:
+            if tflite:
+                tfl_path = out / "yolo_model.tflite"
+                tfl_path.write_bytes(export_tflite(net, variables, batch))
+                arts["tflite"] = str(tfl_path)
+            if tflite_int8:  # independent of the fp32 artifact
                 # with rep_images: full int8 (the nncase --dataset recipe);
                 # without: dynamic-range (weights-only)
                 q_path = out / "yolo_model_int8.tflite"

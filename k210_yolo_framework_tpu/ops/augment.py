@@ -127,21 +127,33 @@ def _rotate_3shear(img: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     """Rotate about the image center by ``theta`` (radians, |theta| <=
     MAX_ROT_DEG) via Sx(a) . Sy(b) . Sx(a), a = -tan(theta/2), b = sin
     theta.  Each pass is an exact axis-aligned bilinear; the composition is
-    the standard Paeth rotation (3 cheap passes instead of one gather)."""
-    h, w = img.shape[0], img.shape[1]
-    cy, cx = h / 2.0, w / 2.0
-    a = -jnp.tan(theta / 2.0)
-    b = jnp.sin(theta)
+    the standard Paeth rotation (3 cheap passes instead of one gather).
+
+    The working frame is padded by the passes' maximum displacements and
+    cropped afterwards: a same-size intermediate would zero-clip edge
+    content that the composed rotation maps back inside (boxes ride the
+    exact matrix, so clipped pixels would silently disagree with a still-
+    valid gt box near the border)."""
     import math
+    h, w = img.shape[0], img.shape[1]
     amax = math.tan(math.radians(MAX_ROT_DEG) / 2.0)
     bmax = math.sin(math.radians(MAX_ROT_DEG))
-    xb = int(math.ceil(amax * (h / 2.0))) + 1
-    yb = int(math.ceil(bmax * (w / 2.0))) + 1
-    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - cy
-    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - cx
-    out = _shear_x(img, a * ys, xb)
+    px = int(math.ceil(amax * (h / 2.0))) + 2          # x-shear reach
+    py = int(math.ceil(bmax * (w / 2.0 + px))) + 2     # y-shear reach
+    hp, wp = h + 2 * py, w + 2 * px
+    work = jnp.pad(img, ((py, py), (px, px), (0, 0)))
+
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    xb = int(math.ceil(amax * (hp / 2.0))) + 1
+    yb = int(math.ceil(bmax * (wp / 2.0))) + 1
+    # offsets pivot about the ORIGINAL image center, at (py+cy, px+cx) here
+    ys = jnp.arange(hp, dtype=jnp.float32) + 0.5 - (py + h / 2.0)
+    xs = jnp.arange(wp, dtype=jnp.float32) + 0.5 - (px + w / 2.0)
+    out = _shear_x(work, a * ys, xb)
     out = _shear_y(out, b * xs, yb)
-    return _shear_x(out, a * ys, xb)
+    out = _shear_x(out, a * ys, xb)
+    return out[py:py + h, px:px + w, :]
 
 
 def _translate_bilinear(img: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray

@@ -94,7 +94,12 @@ def encode_labels(boxes: jnp.ndarray, valid: jnp.ndarray, spec: YoloSpec) -> Lis
         # Grid cell per box for THIS layer (utils.py:140-156): floor(xy * wh).
         idx = jnp.floor(boxes[:, 1] * w).astype(jnp.int32)
         idy = jnp.floor(boxes[:, 2] * h).astype(jnp.int32)
-        mine = valid & (layer_idx == l)
+        # Out-of-range cells never write (the reference loop's write would
+        # be dropped); they must ALSO stay out of the collision test below,
+        # where a flattened slot id for idx==w would alias cell (idy+1, 0)
+        # and falsely mark that cell's real box as overwritten.
+        inb = (idx >= 0) & (idx < w) & (idy >= 0) & (idy < h)
+        mine = valid & (layer_idx == l) & inb
 
         # Reference semantics (utils.py:226-228, a sequential Python loop):
         # later boxes OVERWRITE xywh/conf in their (cell, anchor) slot, but

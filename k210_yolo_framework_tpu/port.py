@@ -81,7 +81,7 @@ def mobilev1_layer_map() -> List[Tuple[str, str, List]]:
     return table
 
 
-def _head_rows(conv_start: int, bn_start: int, widths=("y1", "y2")) -> List[Tuple[str, str, List]]:
+def _head_rows(conv_start: int, bn_start: int) -> List[Tuple[str, str, List]]:
     """The auto-numbered 2-scale head shared by the mobilenet/tiny builders
     (yolonet.py:27-38, 86-96, 128-138).  Keras numbers Conv2D/BatchNorm
     layers in creation order: y1 3x3+BN, y1 out, up 1x1+BN, y2 3x3+BN,

@@ -59,9 +59,12 @@ def _should_quantize(leaf) -> bool:
     # kernels and biases; BN scale/bias/statistics are 1-d too but live in
     # small tensors whose precision matters (they fold the conv epilogue) —
     # quantize only >=2-d leaves (kernels) to match the KPU split.
-    return hasattr(leaf, "ndim") and leaf.ndim >= 2 and np.issubdtype(
-        np.asarray(leaf).dtype if not hasattr(leaf, "dtype") else leaf.dtype,
-        np.floating)
+    # jnp.issubdtype, NOT np's: np.issubdtype(bfloat16, np.floating) is
+    # False, which would silently skip bf16 param trees.
+    if not hasattr(leaf, "ndim") or leaf.ndim < 2:
+        return False
+    dtype = leaf.dtype if hasattr(leaf, "dtype") else np.asarray(leaf).dtype
+    return jnp.issubdtype(dtype, jnp.floating)
 
 
 def quantize_tree(tree: Any) -> Any:

@@ -300,6 +300,12 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
     except KeyboardInterrupt:
         log_fn("interrupted — saving current weights (keras_train.py:99-100 behavior)")
     finally:
+        # scalars buffered since the last 10-step boundary would otherwise
+        # end before the saved checkpoint's step
+        if scalar_logger is not None:
+            for s, lg in pending_logs:
+                scalar_logger(s, {k: float(v) for k, v in lg.items()})
+        pending_logs.clear()
         for sig, prev in prev_handlers:
             signal.signal(sig, prev)
 

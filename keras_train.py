@@ -78,9 +78,12 @@ def main(args):
     # the partitioner-safe depthwise kernel gradient is only needed when a
     # model/TP mesh axis exists (see models.layers.DepthwiseConv); single
     # device and pure DP use the cheaper stock gradient
-    uses_tp = bool(args.mesh) and args.mesh != "auto" and \
-        int(args.mesh.split(",")[1]) > 1  # sp (3rd axis) shards the dw-conv
-    # operands themselves, so the stock gradient reduces correctly there
+    # sp (3rd axis) shards the dw-conv operands themselves, so the stock
+    # gradient reduces correctly there; only a >1 model/TP axis needs the
+    # partitioner-safe gradient
+    mesh_dims = [int(x) for x in args.mesh.split(",")] \
+        if args.mesh and args.mesh != "auto" else []
+    uses_tp = len(mesh_dims) > 1 and mesh_dims[1] > 1
     net = build_network(args.model_def, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=args.depth_multiplier,
                         dtype=dtype, safe_dw_grad=uses_tp)
@@ -129,8 +132,7 @@ def main(args):
         if args.mesh == "auto":
             mesh = make_mesh()
         else:
-            dims = [int(x) for x in args.mesh.split(",")]
-            dp, mp, sp = dims + [1] * (3 - len(dims))
+            dp, mp, sp = mesh_dims + [1] * (3 - len(mesh_dims))
             mesh = make_mesh(dp=dp, mp=mp, sp=sp)
         print(INFO, f"mesh {dict(mesh.shape)} over {len(jax.devices())} devices")
 

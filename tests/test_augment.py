@@ -146,12 +146,24 @@ def test_rotate_3shear_close_to_direct_bilinear():
     fwd = jnp.asarray([[c, -s, cx - c * cx + s * cy],
                        [s, c, cy - s * cx - c * cy],
                        [0, 0, 1]], jnp.float32)
-    want = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
-    # compare away from the zero-filled borders
-    g = np.asarray(got)[10:-10, 10:-10]
-    v = np.asarray(want)[10:-10, 10:-10]
+    inv = np.asarray(jnp.linalg.inv(fwd))
+    want = A._inverse_affine_sample(img, jnp.asarray(inv))
+    # full-frame mean: the shear working frame is padded, so border content
+    # the rotation keeps must survive (a same-size intermediate used to
+    # zero-clip an ~11px edge band and this mean was ~2.5)
+    g = np.asarray(got)
+    v = np.asarray(want)
     assert np.abs(g - v).mean() < 0.5          # values span ~[-100, 100]
-    assert np.abs(g - v).max() < 6.0
+    # max error: exclude only pixels whose SOURCE is within 2px of the
+    # frame boundary — there the direct sampler hard-cuts to zero while
+    # three chained interpolations blur the cut over ~2px; every pixel
+    # with an interior source (incl. the formerly-clipped band) must match
+    ys, xs = np.meshgrid(np.arange(64) + 0.5, np.arange(64) + 0.5,
+                         indexing="ij")
+    sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+    interior = (sx > 2) & (sx < 62) & (sy > 2) & (sy < 62)
+    assert np.abs(g - v).max(-1)[interior].max() < 8.0
 
 
 def test_branch_distribution_covers_all_three():

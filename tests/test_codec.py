@@ -68,6 +68,31 @@ def test_encode_overwrite_order_matches_reference():
         np.testing.assert_allclose(np.asarray(got[l]), want[l], atol=1e-6)
 
 
+def test_encode_edge_box_does_not_alias_other_cells():
+    """x == 1.0 puts a box at column idx == w (dropped, as in the reference
+    loop).  Its FLATTENED slot id must not alias cell (idy+1, 0) and mark a
+    real box there as overwritten (regression for the vectorized encode)."""
+    anchors = SPEC.anchors_np()
+    # pick anchor (layer, a) for a given wh by running the assigner once
+    wh = np.array([0.3, 0.3], np.float32)
+    li, ai = C.assign_anchor(jnp.asarray(wh)[None], jnp.asarray(anchors))
+    l, a = int(li[0]), int(ai[0])
+    h, w = SPEC.out_hws[l]
+    # box A: valid, at cell (2, 0); box B LATER with x=1.0 at row 1 -> its
+    # slot id (1*w + w)*na + a would alias A's (2*w + 0)*na + a
+    ax = 0.5 / w
+    ay = 2.5 / h
+    bx = 1.0
+    by = 1.5 / h
+    boxes = np.array([[3, ax, ay, wh[0], wh[1]],
+                      [7, bx, by, wh[0], wh[1]]], np.float32)
+    padded, valid = C.pad_boxes(boxes)
+    got = C.encode_labels(jnp.asarray(padded), jnp.asarray(valid), SPEC)
+    cell = np.asarray(got[l][2, 0, a])
+    assert cell[4] == 1.0, "edge box aliased away a real box's label"
+    assert cell[5 + 3] == 1.0 and cell[5 + 7] == 0.0
+
+
 def test_encode_decode_roundtrip():
     rng = np.random.default_rng(7)
     bx = random_boxes(rng, 6)
