@@ -32,7 +32,8 @@ from k210_yolo_framework_tpu.ops import augment as A
 from k210_yolo_framework_tpu.ops import codec as C
 from k210_yolo_framework_tpu.ops import letterbox as LB
 
-__all__ = ["HostBatch", "make_preprocess_fn", "DataPipeline", "synthetic_ann_list"]
+__all__ = ["HostBatch", "make_preprocess_fn", "stage_image", "DataPipeline",
+           "synthetic_ann_list"]
 
 # Staging canvas: must cover the raw dataset (VOC images are <= 500px/side).
 CANVAS_HW = (512, 512)
@@ -47,7 +48,7 @@ class HostBatch(NamedTuple):
     valid: np.ndarray     # [B, MAX_BOXES] bool
 
 
-def _stage_image(img: np.ndarray, canvas_hw: Tuple[int, int]):
+def stage_image(img: np.ndarray, canvas_hw: Tuple[int, int]):
     """Top-left place into a zero canvas; oversized images are pre-shrunk on
     host (bilinear) to fit — only metadata changes, the device letterbox
     still sees one consistent (image, true size) pair."""
@@ -131,7 +132,7 @@ class DataPipeline:
     def _load_one(self, row) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         path, boxes, _hw = row
         img = read_image(str(path))
-        canvas, img_hw = _stage_image(img, self.canvas_hw)
+        canvas, img_hw = stage_image(img, self.canvas_hw)
         padded, valid = C.pad_boxes(np.copy(boxes))
         return canvas, img_hw, padded, valid
 

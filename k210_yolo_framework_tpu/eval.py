@@ -133,33 +133,53 @@ def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
                        canvas_hw: Tuple[int, int] = (512, 512),
                        progress=None) -> DetectionRecord:
     """Batched inference over the dataset -> DetectionRecord (score once,
-    match at any IoU — see match_detections / match_detections_sweep)."""
+    match at any IoU — see match_detections / match_detections_sweep).
+
+    Host decode/staging runs in a thread pool one batch ahead of the device,
+    so JPEG decode overlaps inference instead of idling the chip."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from k210_yolo_framework_tpu.data.annotations import read_image
-    from k210_yolo_framework_tpu.data.pipeline import _stage_image
+    from k210_yolo_framework_tpu.data.pipeline import stage_image
 
     record = DetectionRecord(class_num)
     n = len(ann_list)
-    for start in range(0, n, batch_size):
+    pool = ThreadPoolExecutor(min(8, max(2, os.cpu_count() or 1)))
+
+    def submit(start):
         rows = [ann_list[i] for i in range(start, min(start + batch_size, n))]
-        canvases, hws = zip(*(_stage_image(read_image(str(r[0])), canvas_hw)
-                              for r in rows))
-        canvases, hws = np.stack(canvases), np.stack(hws)
-        if len(rows) < batch_size:  # pad the tail to the compiled batch shape
-            pad = batch_size - len(rows)
-            canvases = np.concatenate([canvases, np.repeat(canvases[-1:], pad, 0)])
-            hws = np.concatenate([hws, np.repeat(hws[-1:], pad, 0)])
-        dets = predictor.predict_batch(canvases, hws)
-        for k, (row, det) in enumerate(zip(rows, dets)):
-            i = start + k
-            h, w = hws[k]
-            gt = np.asarray(row[1], float)
-            # normalized (cls, cx, cy, w, h) -> pixel yxyx at the STAGED size
-            cy, cx = gt[:, 2] * h, gt[:, 1] * w
-            bh, bw = gt[:, 4] * h, gt[:, 3] * w
-            gt_boxes = np.stack([cy - bh / 2, cx - bw / 2,
-                                 cy + bh / 2, cx + bw / 2], axis=1)
-            record.add_image(i, det.boxes, det.scores, det.classes,
-                             gt_boxes, gt[:, 0].astype(int))
-        if progress is not None:
-            progress(min(start + batch_size, n), n)
-    return record
+        return rows, [pool.submit(
+            lambda r: stage_image(read_image(str(r[0])), canvas_hw), r)
+            for r in rows]
+
+    try:
+        pending = submit(0)
+        for start in range(0, n, batch_size):
+            rows, futs = pending
+            if start + batch_size < n:
+                pending = submit(start + batch_size)
+            canvases, hws = zip(*(f.result() for f in futs))
+            canvases, hws = np.stack(canvases), np.stack(hws)
+            if len(rows) < batch_size:  # pad the tail to the compiled shape
+                pad = batch_size - len(rows)
+                canvases = np.concatenate(
+                    [canvases, np.repeat(canvases[-1:], pad, 0)])
+                hws = np.concatenate([hws, np.repeat(hws[-1:], pad, 0)])
+            dets = predictor.predict_batch(canvases, hws)
+            for k, (row, det) in enumerate(zip(rows, dets)):
+                i = start + k
+                h, w = hws[k]
+                gt = np.asarray(row[1], float)
+                # normalized (cls, cx, cy, w, h) -> pixel yxyx, STAGED size
+                cy, cx = gt[:, 2] * h, gt[:, 1] * w
+                bh, bw = gt[:, 4] * h, gt[:, 3] * w
+                gt_boxes = np.stack([cy - bh / 2, cx - bw / 2,
+                                     cy + bh / 2, cx + bw / 2], axis=1)
+                record.add_image(i, det.boxes, det.scores, det.classes,
+                                 gt_boxes, gt[:, 0].astype(int))
+            if progress is not None:
+                progress(min(start + batch_size, n), n)
+        return record
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -121,8 +121,14 @@ def export_serving_stablehlo(predictor, batch: int = 1,
             return D.decode_outputs(pred_list, spec, hw, predictor.class_softmax)
 
         boxes, scores = jax.vmap(decode_one)(preds, img_hws)
+        # top_k must cover max_out (and low-threshold configs need slack):
+        # the default 64 would silently truncate the candidate pool the
+        # greedy pass sees — the exact bug the live Predictor avoids by
+        # NMSing the full set in its Pallas kernel (inference.py).
+        top_k = max(64, 4 * predictor.max_out)
         return tuple(N.batched_nms(boxes, scores, predictor.obj_thresh,
-                                   predictor.iou_thresh, predictor.max_out))
+                                   predictor.iou_thresh, predictor.max_out,
+                                   top_k=top_k))
 
     c_spec = jax.ShapeDtypeStruct((batch, canvas_hw[0], canvas_hw[1], 3), jnp.uint8)
     hw_spec = jax.ShapeDtypeStruct((batch, 2), jnp.int32)

@@ -101,7 +101,10 @@ def correct_boxes(box_xy: jnp.ndarray, box_wh: jnp.ndarray,
     box_hw = box_wh[..., ::-1]
     input_shape = jnp.asarray(in_hw, jnp.float32)
     image_shape = jnp.asarray(image_hw, jnp.float32)
-    new_shape = jnp.round(image_shape * jnp.min(input_shape / image_shape))
+    # clamp: a degenerate aspect can round an extent to 0 (the reference
+    # would emit inf boxes there; the firmware clamps — region_layer.cpp)
+    new_shape = jnp.maximum(
+        jnp.round(image_shape * jnp.min(input_shape / image_shape)), 1.0)
     offset = (input_shape - new_shape) / 2.0 / input_shape
     scale = input_shape / new_shape
     box_yx = (box_yx - offset) * scale

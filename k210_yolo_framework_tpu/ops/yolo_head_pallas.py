@@ -71,6 +71,9 @@ def letterbox_inverse_params(img_hws: jnp.ndarray, in_hw) -> jnp.ndarray:
     input_shape = jnp.asarray(in_hw, jnp.float32)
     new_shape = jnp.round(image_shape * jnp.min(input_shape / image_shape,
                                                 axis=-1, keepdims=True))
+    # degenerate aspect (e.g. a 4000x8 strip) can round an extent to 0 ->
+    # inf/NaN boxes; the firmware twin clamps likewise (region_layer.cpp)
+    new_shape = jnp.maximum(new_shape, 1.0)
     offset = (input_shape - new_shape) / 2.0 / input_shape         # [B, 2]
     scale = input_shape / new_shape                                # [B, 2]
     zeros = jnp.zeros_like(offset)

@@ -186,6 +186,16 @@ def shard_state(state: TrainState, mesh) -> TrainState:
     return jax.device_put(state, shardings)
 
 
+def _flush_scalars(scalar_logger, pending_logs) -> None:
+    """Drain buffered (step, device-scalar logs) in ONE host transfer —
+    per-scalar float() would issue one blocking round-trip each."""
+    if scalar_logger is not None and pending_logs:
+        fetched = jax.device_get([lg for _, lg in pending_logs])
+        for (s, _), lg in zip(pending_logs, fetched):
+            scalar_logger(s, {k: float(v) for k, v in lg.items()})
+    pending_logs.clear()
+
+
 def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
         train_batches: Iterator, test_batches: Optional[Iterator],
         preprocess_train, preprocess_test,
@@ -204,9 +214,21 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
     # train step DONATES the state buffers, so raising mid-call would leave
     # `state` pointing at deleted arrays and crash the very save this exists
     # for — handlers therefore only set a flag, checked at step boundaries
-    # where the state is whole.  Installed FIRST so a signal landing during
-    # the initial compile is already deferred.
+    # where the state is whole.  Installed right before the try/finally that
+    # restores them (a setup error in between would leak the no-op handlers
+    # and make the process uninterruptible); jit compilation is lazy, so the
+    # first-step compile inside the loop is still covered.
     import signal
+
+    if state is None:
+        state = create_train_state(net, cfg, rng)
+    if mesh is not None:
+        state = shard_state(state, mesh)
+    train_step = make_train_step(net, spec, cfg, train_epoch_step)
+    eval_step = make_eval_step(net, spec, cfg)
+    data_rng = jax.random.PRNGKey(cfg.rand_seed)
+    host_step = int(state.step)  # mirrors state.step without device syncs
+    pending_logs = []
 
     stop_requested = {"flag": False}
 
@@ -219,17 +241,6 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
             prev_handlers.append((sig, signal.signal(sig, _request_stop)))
         except ValueError:  # not the main thread
             pass
-
-    if state is None:
-        state = create_train_state(net, cfg, rng)
-    if mesh is not None:
-        state = shard_state(state, mesh)
-    train_step = make_train_step(net, spec, cfg, train_epoch_step)
-    eval_step = make_eval_step(net, spec, cfg)
-    data_rng = jax.random.PRNGKey(cfg.rand_seed)
-
-    host_step = int(state.step)  # mirrors state.step without device syncs
-    pending_logs = []
     try:
         for epoch in range(cfg.max_epochs):
             state = state.replace(pr=M.init_pr_state())
@@ -265,10 +276,7 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                 host_step += 1
                 pending_logs.append((host_step, logs))
                 if i % 10 == 0 or i == train_epoch_step - 1:
-                    if scalar_logger is not None:
-                        for s, lg in pending_logs:
-                            scalar_logger(s, {k: float(v) for k, v in lg.items()})
-                    pending_logs.clear()
+                    _flush_scalars(scalar_logger, pending_logs)
                     log_fn(f"epoch {epoch + 1}/{cfg.max_epochs} step {i + 1}/{train_epoch_step} "
                            f"loss {float(logs['loss']):.4f} p {float(logs['p']):.4f} "
                            f"r {float(logs['r']):.4f}")
@@ -302,10 +310,7 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
     finally:
         # scalars buffered since the last 10-step boundary would otherwise
         # end before the saved checkpoint's step
-        if scalar_logger is not None:
-            for s, lg in pending_logs:
-                scalar_logger(s, {k: float(v) for k, v in lg.items()})
-        pending_logs.clear()
+        _flush_scalars(scalar_logger, pending_logs)
         for sig, prev in prev_handlers:
             signal.signal(sig, prev)
 

@@ -69,7 +69,8 @@ def test_serving_stablehlo_roundtrip():
     preds = net.apply(pred.variables, imgs)
     b, s = jax.vmap(lambda p0, p1, hw: D.decode_outputs([p0, p1], spec, hw, False))(
         preds[0], preds[1], hws)
-    want = N.batched_nms(b, s, 0.05, pred.iou_thresh, pred.max_out)
+    want = N.batched_nms(b, s, 0.05, pred.iou_thresh, pred.max_out,
+                         top_k=max(64, 4 * pred.max_out))
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(want.valid))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(want.scores),
                                rtol=1e-5, atol=1e-6)
@@ -112,7 +113,8 @@ def test_serving_stablehlo_int8_keeps_quantized_weights():
     preds = net.apply(deq, imgs)
     b, s = jax.vmap(lambda p0, p1, hw: D.decode_outputs([p0, p1], spec, hw, False))(
         preds[0], preds[1], hws)
-    want = N.batched_nms(b, s, 0.05, q.iou_thresh, q.max_out)
+    want = N.batched_nms(b, s, 0.05, q.iou_thresh, q.max_out,
+                         top_k=max(64, 4 * q.max_out))
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(want.valid))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(want.scores),
                                rtol=1e-5, atol=1e-6)

@@ -77,3 +77,19 @@ def test_letterbox_jits_with_traced_size():
     o2 = f(canvas, jnp.asarray([64, 20]))
     assert o1.shape == o2.shape == (28, 40, 3)
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_degenerate_aspect_yields_finite_boxes():
+    """A 4000x8 strip rounds one letterbox extent to 0; the inverse must
+    clamp (region_layer.cpp does) instead of emitting inf/NaN boxes."""
+    from k210_yolo_framework_tpu.ops.yolo_head_pallas import \
+        letterbox_inverse_params
+
+    xy = jnp.asarray(np.full((4, 2), 0.5, np.float32))
+    wh = jnp.asarray(np.full((4, 2), 0.1, np.float32))
+    out = np.asarray(L.correct_boxes(xy, wh, (224, 320), (4000, 8)))
+    assert np.isfinite(out).all()
+
+    p = np.asarray(letterbox_inverse_params(
+        jnp.asarray([[4000, 8], [375, 500]], jnp.int32), (224, 320)))
+    assert np.isfinite(p).all()

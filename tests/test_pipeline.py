@@ -110,7 +110,7 @@ def test_oversized_image_staged(ann, tmp_path):
     big = PL.synthetic_ann_list(str(tmp_path), n=1, seed=1)
     # fake an oversized source by staging manually
     img = np.zeros((900, 700, 3), np.uint8)
-    canvas, hw = PL._stage_image(img, (512, 512))
+    canvas, hw = PL.stage_image(img, (512, 512))
     assert canvas.shape == (512, 512, 3)
     assert hw[0] <= 512 and hw[1] <= 512
     assert abs(hw[0] / hw[1] - 900 / 700) < 0.01  # aspect preserved
