@@ -101,9 +101,16 @@ def generate_anchors(ann_list: np.ndarray, in_hw: Tuple[int, int],
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:  # cpu backend unavailable (unusual) — use default
         cpu = None
-    fit = jax.jit(kmeans_iou,
-                  static_argnames=("iters", "keep_empty", "return_history"),
-                  device=cpu)
+    fit_jit = jax.jit(kmeans_iou,
+                      static_argnames=("iters", "keep_empty", "return_history"))
+
+    def fit(x, init, **kw):
+        # host-scale work pinned to CPU via input placement (jit's device=
+        # parameter is deprecated); outputs follow the inputs' device
+        if cpu is not None:
+            x = jax.device_put(x, cpu)
+            init = jax.device_put(init, cpu)
+        return fit_jit(x, init, **kw)
 
     def make_init():
         if is_random:

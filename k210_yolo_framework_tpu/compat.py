@@ -141,7 +141,10 @@ class Helper:
 
         self.batch_size = batch_size
         self.train_dataset, self.train_epoch_step = make(self.train_list, is_training)
-        if self.test_list is not None and len(self.test_list) >= batch_size:
+        # the reference repeat()s before batching, so even a test list
+        # smaller than one batch yields full batches forever — only an
+        # EMPTY list has no dataset
+        if self.test_list is not None and len(self.test_list) > 0:
             self.test_dataset, self.test_epoch_step = make(self.test_list, False)
 
     # ------------------------------------------------------------- drawing --

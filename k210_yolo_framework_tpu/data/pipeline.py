@@ -77,14 +77,13 @@ def make_preprocess_fn(spec: YoloSpec, is_training: bool, canvas_hw=CANVAS_HW,
     ``dtype`` sets the image pixel dtype handed to augment/normalize
     (default fp32).  Pass ``jnp.bfloat16`` when the net computes in bf16:
     letterboxed pixels are integers (exact in bf16) and the augment shears
-    run 2.3x faster.  The letterbox itself stays fp32 — its COORDINATE math
-    in bf16 would shift sampling by up to a pixel — and all box/label math
-    stays fp32.
+    run 2.3x faster.  The letterbox's coordinate math is always fp32 (see
+    its docstring), and all box/label math stays fp32.
     """
     dtype = dtype or jnp.float32
 
     def one(canvas, img_hw, boxes, valid, key):
-        img = LB.letterbox_image(canvas, img_hw, spec.in_hw).astype(dtype)
+        img = LB.letterbox_image(canvas, img_hw, spec.in_hw, dtype=dtype)
         boxes = LB.letterbox_boxes(boxes, img_hw, spec.in_hw)
         if is_training:
             img, boxes, valid = A.augment_image_and_boxes(key, img, boxes, valid)

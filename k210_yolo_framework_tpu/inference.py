@@ -42,7 +42,14 @@ class Detections(NamedTuple):
 
 
 class Predictor:
-    """Holds a built network + weights and serves jitted predictions."""
+    """Holds a built network + weights and serves jitted predictions.
+
+    Configuration (obj_thresh / iou_thresh / max_out / class_softmax /
+    compute_dtype / quantize) is FROZEN at construction: the jitted runners
+    take ``self`` as a static argument, so the thresholds are baked into
+    the compiled program and attribute mutation after the first prediction
+    is silently ignored by the cache.  Build a new Predictor to change
+    them (weights are shared by reference; rebuilding is cheap)."""
 
     def __init__(self, net: YoloNet, variables, spec: YoloSpec,
                  obj_thresh: float = 0.7, iou_thresh: float = 0.3,

@@ -5,10 +5,11 @@ This is the semantic heart of the framework.  Reference behavior reproduced:
   * ``Helper.box_to_label``  (/root/reference/tools/utils.py:207-230):
     per gt box pick (layer, anchor) by max center-aligned IoU, grid cell by
     ``floor(xy * out_wh)``, write clipped xywh + conf=1 + one-hot class.
-    The reference's per-box Python loop becomes an ordered scatter (a
-    ``fori_loop`` over a fixed-size padded box tensor) so encoding runs
-    batched on-device; later boxes overwrite earlier ones exactly like the
-    reference loop.
+    The reference's per-box Python loop becomes three order-free scatters
+    over a fixed-size padded box tensor (payload via a last-writer
+    collision test, classes via scatter-max — see ``encode_labels``) so
+    encoding runs batched on-device with the loop's exact overwrite/
+    accumulate semantics.
   * ``Helper.label_to_box``  (/root/reference/tools/utils.py:293-307).
   * ``tf_xywh_to_all``       (/root/reference/tools/utils.py:524-547).
   * ``tf_xywh_to_grid``      (/root/reference/tools/utils.py:550-572).

@@ -52,25 +52,42 @@ def letterbox_image(img: jnp.ndarray, img_hw: jnp.ndarray, in_hw: Tuple[int, int
     holds the real image (zeros elsewhere); ``img_hw`` is the true size.
     Returns ``dtype`` [in_h, in_w, C] in the input's value range.
 
-    ``dtype=jnp.float32`` reproduces the reference warp exactly (training /
-    parity path); ``jnp.bfloat16`` is the serving fast path — the resample
-    runs ~3x faster and uint8 pixel values (<= 255) are still exactly
-    representable, only the bilinear blend rounds.
+    The warp's COORDINATE math is always fp32: bf16 scale/translation move
+    the sampling positions by up to a pixel (measured mean per-pixel diff
+    ~40/255 on a real photo), which would skew serving against the
+    fp32-warped pixels the model trained on.  ``dtype`` sets the PIXEL
+    dtype of the resample einsum and output — the fp32 weight matrices are
+    cast after they are built, so bf16 keeps the fast path's bandwidth
+    without moving any sample position (only the 2-tap blend rounds).
     """
     scale, translation = letterbox_params(img_hw, in_hw)
     # skimage pixel-center convention -> scale_and_translate convention.
     adj = 0.5 * (1.0 - scale)
-    out = jax.image.scale_and_translate(
-        img.astype(dtype),
-        shape=(in_hw[0], in_hw[1], img.shape[-1]),
-        spatial_dims=(0, 1),
-        scale=jnp.stack([scale, scale]).astype(dtype),
-        translation=jnp.stack([translation[1] + adj, translation[0] + adj]).astype(dtype),
-        method="linear",
-        antialias=False,
-    )
+    ty, tx = translation[1] + adj, translation[0] + adj
+    try:
+        # separable resample with EXPLICIT weight-matrix dtype control;
+        # parity with the public call is pinned by tests/test_letterbox.py
+        from jax._src.image.scale import (  # noqa: PLC2701
+            _fill_triangle_kernel, compute_weight_mat)
+
+        w_h = compute_weight_mat(img.shape[0], in_hw[0], scale, ty,
+                                 _fill_triangle_kernel, False)
+        w_w = compute_weight_mat(img.shape[1], in_hw[1], scale, tx,
+                                 _fill_triangle_kernel, False)
+        out = jnp.einsum("hwc,hi,wj->ijc", img.astype(dtype),
+                         w_h.astype(dtype), w_w.astype(dtype))
+    except ImportError:  # private helper moved: correct-but-fp32 fallback
+        out = jax.image.scale_and_translate(
+            img.astype(jnp.float32),
+            shape=(in_hw[0], in_hw[1], img.shape[-1]),
+            spatial_dims=(0, 1),
+            scale=jnp.stack([scale, scale]),
+            translation=jnp.stack([ty, tx]),
+            method="linear",
+            antialias=False,
+        )
     # Reference warps -> .astype('uint8') (truncation) before augment/normalize.
-    return jnp.clip(jnp.trunc(out), 0.0, 255.0)
+    return jnp.clip(jnp.trunc(out.astype(jnp.float32)), 0.0, 255.0).astype(dtype)
 
 
 def letterbox_boxes(boxes: jnp.ndarray, img_hw: jnp.ndarray, in_hw: Tuple[int, int]) -> jnp.ndarray:

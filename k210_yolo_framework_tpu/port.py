@@ -63,21 +63,7 @@ def mobilev1_layer_map() -> List[Tuple[str, str, List]]:
              [("kernel:0", "params", "kernel")]),
             (f"conv_pw_{n}_bn", f"backbone/block_{n}/pw/bn", list(_BN_WEIGHTS)),
         ]
-    table += [
-        ("conv2d", "head/y1_conv/dark_conv_bn/conv",
-         [("kernel:0", "params", "kernel")]),
-        ("batch_normalization", "head/y1_conv/dark_conv_bn/bn", list(_BN_WEIGHTS)),
-        ("conv2d_1", "head/y1_out/dark_conv_out",
-         [("kernel:0", "params", "kernel"), ("bias:0", "params", "bias")]),
-        ("conv2d_2", "head/up_conv/dark_conv_bn/conv",
-         [("kernel:0", "params", "kernel")]),
-        ("batch_normalization_1", "head/up_conv/dark_conv_bn/bn", list(_BN_WEIGHTS)),
-        ("conv2d_3", "head/y2_conv/dark_conv_bn/conv",
-         [("kernel:0", "params", "kernel")]),
-        ("batch_normalization_2", "head/y2_conv/dark_conv_bn/bn", list(_BN_WEIGHTS)),
-        ("conv2d_4", "head/y2_out/dark_conv_out",
-         [("kernel:0", "params", "kernel"), ("bias:0", "params", "bias")]),
-    ]
+    table += _head_rows(conv_start=0, bn_start=0)
     return table
 
 
@@ -274,7 +260,8 @@ def _set_leaf(tree: Dict, path: str, value: np.ndarray, policy: str = "exact"):
 
 
 def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],
-                      allow_missing: bool = True) -> Dict[str, Any]:
+                      allow_missing: bool = True
+                      ) -> Tuple[Dict[str, Any], List[str]]:
     """Load a reference Keras ``.h5`` into the structure of ``template``
     (``{"params": ..., "batch_stats": ...}``).
 

@@ -93,3 +93,30 @@ def test_degenerate_aspect_yields_finite_boxes():
     p = np.asarray(letterbox_inverse_params(
         jnp.asarray([[4000, 8], [375, 500]], jnp.int32), (224, 320)))
     assert np.isfinite(p).all()
+
+
+def test_weightmat_resample_matches_public_scale_and_translate():
+    """letterbox_image's explicit weight-mat resample (fp32 coords, dtype
+    pixels) must match the public fp32 scale_and_translate bit-close in
+    fp32 and within blend rounding in bf16."""
+    rng = np.random.default_rng(7)
+    canvas = jnp.asarray(rng.integers(0, 256, (96, 128, 3)).astype(np.uint8))
+    for hw in ([77, 101], [96, 40], [30, 128]):
+        got32 = L.letterbox_image(canvas, jnp.asarray(hw), (64, 80))
+        # public-API oracle with identical convention
+        from k210_yolo_framework_tpu.ops.letterbox import letterbox_params
+        scale, tr = letterbox_params(jnp.asarray(hw), (64, 80))
+        adj = 0.5 * (1.0 - scale)
+        want = jax.image.scale_and_translate(
+            canvas.astype(jnp.float32), shape=(64, 80, 3), spatial_dims=(0, 1),
+            scale=jnp.stack([scale, scale]),
+            translation=jnp.stack([tr[1] + adj, tr[0] + adj]),
+            method="linear", antialias=False)
+        want = jnp.clip(jnp.trunc(want), 0.0, 255.0)
+        np.testing.assert_allclose(np.asarray(got32), np.asarray(want), atol=1e-3)
+
+        got16 = L.letterbox_image(canvas, jnp.asarray(hw), (64, 80),
+                                  dtype=jnp.bfloat16)
+        # same sample positions; only the 2-tap blend rounds (then trunc)
+        diff = np.abs(np.asarray(got16, np.float32) - np.asarray(want))
+        assert diff.max() <= 2.0, f"bf16 blend drifted {diff.max()} at {hw}"
