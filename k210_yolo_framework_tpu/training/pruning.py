@@ -63,7 +63,10 @@ def update_masks(params, masks, sparsity: jnp.ndarray):
         if is_prunable(path, w):
             mag = jnp.abs(w).ravel()
             thr = jnp.quantile(mag, jnp.clip(sparsity, 0.0, 1.0))
-            new_leaves.append((jnp.abs(w) > thr).astype(w.dtype))
+            # >= keeps threshold ties (tfmot's keep-top-k semantics): a
+            # strict > would prune the min-magnitude weight even at
+            # sparsity 0, and overshoot the target on ties
+            new_leaves.append((jnp.abs(w) >= thr).astype(w.dtype))
         else:
             new_leaves.append(m)
     return jax.tree_util.tree_unflatten(flat_m[1], new_leaves)

@@ -124,6 +124,10 @@ class SummaryWriter:
         self._f.write(_record(_encode_event(time.time(), step=step,
                                             scalars=[(t, float(v))
                                                      for t, v in scalars])))
+        # live observability (the reference's update_freq='batch'): without
+        # this, events sit in the OS buffer until close() and a killed run
+        # loses its tail
+        self._f.flush()
 
     def flush(self):
         self._f.flush()

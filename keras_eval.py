@@ -19,7 +19,8 @@ def main(args):
 
     from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
     from k210_yolo_framework_tpu.data.annotations import load_ann_list
-    from k210_yolo_framework_tpu.eval import evaluate_map
+    from k210_yolo_framework_tpu.eval import collect_detections, \
+        match_detections, match_detections_sweep
     from k210_yolo_framework_tpu.inference import Predictor, VOC_LABELS
     from k210_yolo_framework_tpu.models import build_network
     from k210_yolo_framework_tpu.training import checkpoint as CK
@@ -35,12 +36,7 @@ def main(args):
     net = build_network(args.model_def, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=args.depth_multiplier)
     state = T.create_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if str(args.pre_ckpt).endswith(".h5"):
-        variables = CK.load_h5(args.pre_ckpt, variables)
-    else:
-        restored = CK.restore_state(args.pre_ckpt, jax.device_get(state))
-        variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+    variables = CK.load_variables(args.pre_ckpt, args.model_def, state)
     print(INFO, f"Load CKPT {args.pre_ckpt}")
 
     pred = Predictor(net, variables, spec, obj_thresh=args.obj_thresh,
@@ -53,8 +49,6 @@ def main(args):
     if args.limit:
         ann = ann[:args.limit]
 
-    from k210_yolo_framework_tpu.eval import collect_detections, match_detections, \
-        match_detections_sweep
     record = collect_detections(pred, ann, args.class_num,
                                 batch_size=args.batch_size,
                                 progress=lambda d, t: print(f"\r eval {d}/{t}", end=""))

@@ -36,12 +36,7 @@ def main(args):
     net = build_network(args.model_def, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=args.depth_multiplier)
     state = T.create_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if str(args.pre_ckpt).endswith(".h5"):
-        variables = CK.load_h5(args.pre_ckpt, variables)
-    else:
-        restored = CK.restore_state(args.pre_ckpt, jax.device_get(state))
-        variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+    variables = CK.load_variables(args.pre_ckpt, args.model_def, state)
     print(INFO, f" Load CKPT {args.pre_ckpt}")
 
     import jax.numpy as jnp

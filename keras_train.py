@@ -70,6 +70,11 @@ def main(args):
     ann = ANN.load_ann_list(f"data/{args.train_set}_img_ann.npy")
     train_list, test_list = ANN.split_train_test(ann, cfg.validation_split)
     train_pipe = PL.DataPipeline(train_list, cfg.batch_size, cfg.rand_seed)
+    if train_pipe.epoch_step == 0:
+        raise SystemExit(
+            f"train set has {len(train_list)} images < batch_size "
+            f"{cfg.batch_size}: zero steps per epoch (drop_remainder "
+            "batching, utils.py:449-450) — lower --batch_size")
     test_pipe = (PL.DataPipeline(test_list, cfg.batch_size, cfg.rand_seed)
                  if len(test_list) >= cfg.batch_size else None)
 
@@ -83,6 +88,9 @@ def main(args):
     # partitioner-safe gradient
     mesh_dims = [int(x) for x in args.mesh.split(",")] \
         if args.mesh and args.mesh != "auto" else []
+    if len(mesh_dims) > 3:
+        raise SystemExit(f"--mesh {args.mesh!r}: format is 'dp,mp[,sp]' "
+                         "or 'auto' (at most 3 axes)")
     uses_tp = len(mesh_dims) > 1 and mesh_dims[1] > 1
     net = build_network(args.model_def, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=args.depth_multiplier,
@@ -124,6 +132,7 @@ def main(args):
     def scalar_logger(step, logs):
         import json
         scalar_log.write(json.dumps({"step": step, **logs}) + "\n")
+        scalar_log.flush()  # tail survives SIGKILL/OOM
         tb.add_scalars(list(logs.items()), step)
 
     mesh = None

@@ -61,3 +61,47 @@ def test_args_txt(tmp_path):
     CK.write_args_txt({"model_def": "yolo_mobilev1", "batch_size": 16}, str(p))
     txt = p.read_text()
     assert "model_def: yolo_mobilev1\n" in txt and "batch_size: 16\n" in txt
+
+
+def test_load_h5_rejects_foreign_layout(tmp_path):
+    """An .h5 with no native groups must raise (silent {} would surface as
+    a cryptic flax error far from the cause)."""
+    import h5py
+    import pytest
+
+    p = str(tmp_path / "foreign.h5")
+    with h5py.File(p, "w") as f:
+        f.create_group("model_weights")
+    net, state = _state()
+    tmpl = {"params": state.params, "batch_stats": state.batch_stats}
+    with pytest.raises(ValueError, match="no native groups"):
+        CK.load_h5(p, tmpl)
+
+
+def test_load_variables_handles_all_three_formats(tmp_path):
+    """Native h5, reference Keras h5 (ported), and orbax dir all load
+    through the one CLI entry point."""
+    net, state = _state()
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+
+    p_native = str(tmp_path / "native.h5")
+    CK.save_h5(p_native, variables)
+    out = CK.load_variables(p_native, "yolo_mobilev1", state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(out["params"])[0]),
+        np.asarray(jax.tree.leaves(variables["params"])[0]))
+
+    p_orbax = str(tmp_path / "orbax_ckpt")
+    CK.save_state(p_orbax, state)
+    out = CK.load_variables(p_orbax, "yolo_mobilev1", state)
+    assert "params" in out and "batch_stats" in out
+
+    # reference Keras layout: route through port (synthesized minimal file
+    # -> everything missing, left at init, but MUST NOT raise)
+    import h5py
+    p_ref = str(tmp_path / "ref.h5")
+    with h5py.File(p_ref, "w") as f:
+        f.create_group("model_weights")
+    out = CK.load_variables(p_ref, "yolo_mobilev1", state)
+    assert "params" in out
