@@ -232,6 +232,23 @@ def _find_layer_group(f, layer: str):
     return g[layer] if layer in g else g
 
 
+def _get_weight(g, wname: str) -> np.ndarray:
+    """Fetch one weight, tolerating both h5 naming eras: TF1 Keras writes
+    ``kernel:0``/``depthwise_kernel:0``; Keras 3's legacy-h5 writer drops the
+    ``:0`` suffix and stores depthwise kernels as plain ``kernel`` (same
+    [kh, kw, C, 1] layout)."""
+    candidates = [wname]
+    if wname.endswith(":0"):
+        candidates.append(wname[:-2])
+    if wname.startswith("depthwise_kernel"):
+        candidates.append("kernel")
+    for c in candidates:
+        if c in g:
+            return np.asarray(g[c])
+    raise KeyError(f"none of {candidates} found in layer group {g.name}; "
+                   f"has {list(g)}")
+
+
 def _set_leaf(tree: Dict, path: str, value: np.ndarray, policy: str = "exact"):
     keys = path.split("/")
     node = tree
@@ -302,7 +319,7 @@ def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],
             for spec in weights:
                 wname, coll, leaf = spec[0], spec[1], spec[2]
                 transform = spec[3] if len(spec) > 3 else None
-                arr = np.asarray(g[wname])
+                arr = _get_weight(g, wname)
                 if transform is not None:
                     arr = transform(arr)
                 _set_leaf(out[coll], f"{module_path}/{leaf}", arr, policy)
