@@ -167,6 +167,7 @@ class YoloNet:
     anchor_num: int
     class_num: int
     in_hw: Sequence[int]
+    n_out_layers: int = 2  # 3 for the full darknet53 'yolo' builder
 
     def init(self, rng: jax.Array, batch: int = 1) -> FrozenDict:
         x = jnp.zeros((batch, self.in_hw[0], self.in_hw[1], 3), jnp.float32)
@@ -204,4 +205,6 @@ def build_network(model_def: str, in_hw, anchor_num: int, class_num: int,
     module = NETWORKS[model_def](anchor_num=anchor_num, class_num=class_num,
                                  alpha=alpha, dtype=dtype,
                                  safe_dw_grad=safe_dw_grad)
-    return YoloNet(module=module, anchor_num=anchor_num, class_num=class_num, in_hw=tuple(in_hw))
+    return YoloNet(module=module, anchor_num=anchor_num, class_num=class_num,
+                   in_hw=tuple(in_hw),
+                   n_out_layers=3 if model_def == "yolo" else 2)

@@ -29,7 +29,7 @@ from k210_yolo_framework_tpu.config import YoloSpec
 from k210_yolo_framework_tpu.ops.boxes import iou_xywh
 from k210_yolo_framework_tpu.ops.codec import MAX_BOXES, xywh_all_to_grid, xywh_grid_to_all
 
-__all__ = ["yolo_layer_loss", "yolo_loss", "l2_penalty"]
+__all__ = ["yolo_layer_loss", "yolo_loss", "yolo_loss_layers", "l2_penalty"]
 
 
 def _bce_logits(labels: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
@@ -100,16 +100,29 @@ def yolo_layer_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray, layer: int, spec: 
     return obj_loss + noobj_loss + cls_loss + xy_loss + wh_loss
 
 
+def yolo_loss_layers(y_trues: Sequence[jnp.ndarray], y_preds: Sequence[jnp.ndarray],
+                     spec: YoloSpec, batch_size: int, obj_thresh: float,
+                     iou_thresh: float, obj_weight: float, noobj_weight: float,
+                     wh_weight: float) -> List[jnp.ndarray]:
+    """Per-output-layer losses — the reference compiles one loss per output
+    and streams each in the progress bar as ``l1_loss``/``l2_loss``
+    (keras_train.py:73-79)."""
+    return [
+        yolo_layer_loss(yt, yp, l, spec, batch_size, obj_thresh, iou_thresh,
+                        obj_weight, noobj_weight, wh_weight)
+        for l, (yt, yp) in enumerate(zip(y_trues, y_preds))
+    ]
+
+
 def yolo_loss(y_trues: Sequence[jnp.ndarray], y_preds: Sequence[jnp.ndarray], spec: YoloSpec,
               batch_size: int, obj_thresh: float, iou_thresh: float,
               obj_weight: float, noobj_weight: float, wh_weight: float) -> jnp.ndarray:
-    """Total loss = sum over output layers (keras compiles one loss per output,
-    keras_train.py:77-78, and sums them)."""
+    """Total loss = sum over output layers (keras sums the per-output losses,
+    keras_train.py:77-78)."""
     total = 0.0
-    for l, (yt, yp) in enumerate(zip(y_trues, y_preds)):
-        total = total + yolo_layer_loss(
-            yt, yp, l, spec, batch_size, obj_thresh, iou_thresh,
-            obj_weight, noobj_weight, wh_weight)
+    for term in yolo_loss_layers(y_trues, y_preds, spec, batch_size, obj_thresh,
+                                 iou_thresh, obj_weight, noobj_weight, wh_weight):
+        total = total + term
     return total
 
 

@@ -31,7 +31,9 @@ from k210_yolo_framework_tpu.training import loss as L
 from k210_yolo_framework_tpu.training import metrics as M
 from k210_yolo_framework_tpu.training import pruning as P
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step", "fit"]
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_fused_train_step", "make_eval_step", "make_fused_eval_step",
+           "fit"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -66,28 +68,33 @@ def create_train_state(net: YoloNet, cfg: TrainConfig, rng: jax.Array) -> TrainS
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(params),
         masks=P.init_masks(params),
-        pr=M.init_pr_state(),
+        pr=M.init_pr_state(net.n_out_layers),
     )
 
 
-def make_train_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
-                    train_epoch_step: int):
-    """Build the donated, jitted train step: (state, images, labels) ->
-    (state, logs)."""
+def make_step_fn(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
+                 train_epoch_step: int):
+    """The UNjitted train step body: (state, images, labels) -> (state, logs).
+
+    Callers jit it directly (``make_train_step``) or compose it with
+    on-device preprocessing under ONE jit (``fit``'s fused path — the
+    reference likewise runs preprocessing and step as one graph,
+    keras_train.py:96-98)."""
     tx = make_optimizer(cfg)
     prune_end = max(train_epoch_step * cfg.prune_end_epoch, 1)
 
     def loss_fn(params, batch_stats, images, labels):
         outs, updates = net.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=True)
-        main = L.yolo_loss(labels, outs, spec, images.shape[0],
-                           cfg.obj_thresh, cfg.iou_thresh,
-                           cfg.obj_weight, cfg.noobj_weight, cfg.wh_weight)
+        layer_losses = L.yolo_loss_layers(
+            labels, outs, spec, images.shape[0], cfg.obj_thresh, cfg.iou_thresh,
+            cfg.obj_weight, cfg.noobj_weight, cfg.wh_weight)
+        main = sum(layer_losses[1:], layer_losses[0])
         reg = L.l2_penalty(params)
-        return main + reg, (outs, updates["batch_stats"], main)
+        return main + reg, (outs, updates["batch_stats"], main, layer_losses)
 
     def step_fn(state: TrainState, images: jnp.ndarray, labels: Tuple[jnp.ndarray, ...]):
-        (_, (outs, new_stats, main_loss)), grads = jax.value_and_grad(
+        (_, (outs, new_stats, main_loss, layer_losses)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, images, labels)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -109,28 +116,97 @@ def make_train_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
         logs = {"loss": main_loss, "p": precision, "r": recall,
                 "lr": keras_adam_schedule(cfg.init_learning_rate,
                                           cfg.learning_rate_decay_factor)(state.step)}
+        # per-output-layer telemetry: the reference streams l1_loss/l2_loss +
+        # per-layer p/r in its progress bar (keras_train.py:73-79) — one scale
+        # collapsing during training is visible only at this granularity
+        p_l, r_l = M.pr_results_per_layer(pr)
+        for l, ll in enumerate(layer_losses):
+            logs[f"l{l + 1}_loss"] = ll
+            logs[f"l{l + 1}_p"] = p_l[l]
+            logs[f"l{l + 1}_r"] = r_l[l]
         if cfg.is_prune:
             logs["sparsity"] = P.sparsity_of(params, masks)
 
         return TrainState(step=state.step + 1, params=params, batch_stats=new_stats,
                           opt_state=new_opt, masks=masks, pr=pr), logs
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def make_train_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
+                    train_epoch_step: int):
+    """Build the donated, jitted train step: (state, images, labels) ->
+    (state, logs)."""
+    return jax.jit(make_step_fn(net, spec, cfg, train_epoch_step),
+                   donate_argnums=(0,))
+
+
+def make_fused_train_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
+                          train_epoch_step: int, preprocess, mesh=None):
+    """ONE jitted program: on-device preprocess (letterbox + augment + /max +
+    label encode) -> forward/backward/update.
+
+    (state, canvases u8, img_hws, boxes, valid, key) -> (state, logs).
+
+    Matches the reference's single-graph step (keras_train.py:96-98) — two
+    separate dispatches hide preprocess latency poorly and forbid XLA from
+    scheduling the VPU-heavy preprocess against the MXU-heavy convs.
+    ``preprocess`` is a (possibly jitted) ``make_preprocess_fn`` product;
+    jit-of-jit inlines, so passing the jitted one costs nothing.
+    """
+    step_fn = make_step_fn(net, spec, cfg, train_epoch_step)
+
+    def fused(state, canvases, img_hws, boxes, valid, key):
+        images, labels = preprocess(canvases, img_hws, boxes, valid, key)
+        if mesh is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, pmesh.image_sharding(mesh))
+            labels = tuple(jax.lax.with_sharding_constraint(
+                l, pmesh.batch_sharding(mesh)) for l in labels)
+        return step_fn(state, images, labels)
+
+    return jax.jit(fused, donate_argnums=(0,))
+
+
+def make_eval_step_fn(net: YoloNet, spec: YoloSpec, cfg: TrainConfig):
+    """UNjitted eval body: (params, batch_stats, pr, images, labels) ->
+    (pr, logs); BN frozen."""
+    def step_fn(params, batch_stats, pr, images, labels):
+        outs = net.apply({"params": params, "batch_stats": batch_stats},
+                         images, train=False)
+        layer_losses = L.yolo_loss_layers(
+            labels, outs, spec, images.shape[0], cfg.obj_thresh, cfg.iou_thresh,
+            cfg.obj_weight, cfg.noobj_weight, cfg.wh_weight)
+        loss = sum(layer_losses[1:], layer_losses[0])
+        pr = M.update_pr_state(pr, labels, outs, cfg.obj_thresh)
+        p, r = M.pr_results(pr)
+        logs = {"val_loss": loss, "val_p": p, "val_r": r}
+        p_l, r_l = M.pr_results_per_layer(pr)
+        for l, ll in enumerate(layer_losses):
+            logs[f"val_l{l + 1}_loss"] = ll
+            logs[f"val_l{l + 1}_p"] = p_l[l]
+            logs[f"val_l{l + 1}_r"] = r_l[l]
+        return pr, logs
+
+    return step_fn
 
 
 def make_eval_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig):
     """(params, batch_stats, pr, images, labels) -> (pr, logs); BN frozen."""
-    def step_fn(params, batch_stats, pr, images, labels):
-        outs = net.apply({"params": params, "batch_stats": batch_stats},
-                         images, train=False)
-        loss = L.yolo_loss(labels, outs, spec, images.shape[0],
-                           cfg.obj_thresh, cfg.iou_thresh,
-                           cfg.obj_weight, cfg.noobj_weight, cfg.wh_weight)
-        pr = M.update_pr_state(pr, labels, outs, cfg.obj_thresh)
-        p, r = M.pr_results(pr)
-        return pr, {"val_loss": loss, "val_p": p, "val_r": r}
+    return jax.jit(make_eval_step_fn(net, spec, cfg))
 
-    return jax.jit(step_fn)
+
+def make_fused_eval_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
+                         preprocess):
+    """Eval-path analogue of :func:`make_fused_train_step`: preprocess +
+    forward + metric accumulation as one jitted program."""
+    step_fn = make_eval_step_fn(net, spec, cfg)
+
+    def fused(params, batch_stats, pr, canvases, img_hws, boxes, valid, key):
+        images, labels = preprocess(canvases, img_hws, boxes, valid, key)
+        return step_fn(params, batch_stats, pr, images, labels)
+
+    return jax.jit(fused)
 
 
 def recalibrate_batch_stats(net: YoloNet, params, batch_stats,
@@ -224,8 +300,12 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
         state = create_train_state(net, cfg, rng)
     if mesh is not None:
         state = shard_state(state, mesh)
-    train_step = make_train_step(net, spec, cfg, train_epoch_step)
-    eval_step = make_eval_step(net, spec, cfg)
+    # preprocess + step fused under ONE jit — the reference's single-graph
+    # step (keras_train.py:96-98); two dispatches would serialize the
+    # VPU-heavy preprocess against the MXU-heavy convs
+    train_step = make_fused_train_step(net, spec, cfg, train_epoch_step,
+                                       preprocess_train, mesh=mesh)
+    eval_step = make_fused_eval_step(net, spec, cfg, preprocess_test)
     data_rng = jax.random.PRNGKey(cfg.rand_seed)
     host_step = int(state.step)  # mirrors state.step without device syncs
     pending_logs = []
@@ -243,7 +323,7 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
             pass
     try:
         for epoch in range(cfg.max_epochs):
-            state = state.replace(pr=M.init_pr_state())
+            state = state.replace(pr=jax.tree.map(jnp.zeros_like, state.pr))
             t0 = time.time()
             logs = {}
             for i in range(train_epoch_step):
@@ -258,14 +338,12 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                         tracing = False
                 hb = next(train_batches)
                 data_rng, k = jax.random.split(data_rng)
-                images, labels = preprocess_train(
-                    jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
-                    jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
+                host_args = (jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+                             jnp.asarray(hb.boxes), jnp.asarray(hb.valid))
                 if mesh is not None:
                     bs = pmesh.batch_sharding(mesh)
-                    images = jax.device_put(images, pmesh.image_sharding(mesh))
-                    labels = tuple(jax.device_put(l, bs) for l in labels)
-                state, logs = train_step(state, images, labels)
+                    host_args = tuple(jax.device_put(a, bs) for a in host_args)
+                state, logs = train_step(state, *host_args, k)
                 if tracing:
                     jax.block_until_ready(logs["loss"])
                     jax.profiler.stop_trace()
@@ -277,23 +355,30 @@ def fit(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
                 pending_logs.append((host_step, logs))
                 if i % 10 == 0 or i == train_epoch_step - 1:
                     _flush_scalars(scalar_logger, pending_logs)
+                    # per-layer columns, the reference progress-bar shape
+                    # (keras_train.py:73-79: l1_loss l2_loss l1_p l1_r ...)
+                    per_layer = " ".join(
+                        f"l{l + 1}_loss {float(logs[f'l{l + 1}_loss']):.4f} "
+                        f"l{l + 1}_p {float(logs[f'l{l + 1}_p']):.3f} "
+                        f"l{l + 1}_r {float(logs[f'l{l + 1}_r']):.3f}"
+                        for l in range(net.n_out_layers))
                     log_fn(f"epoch {epoch + 1}/{cfg.max_epochs} step {i + 1}/{train_epoch_step} "
                            f"loss {float(logs['loss']):.4f} p {float(logs['p']):.4f} "
-                           f"r {float(logs['r']):.4f}")
+                           f"r {float(logs['r']):.4f} {per_layer}")
                 if stop_requested["flag"]:
                     raise KeyboardInterrupt
             dt = time.time() - t0
 
             if test_batches is not None and test_epoch_step > 0:
-                pr = M.init_pr_state()
+                pr = M.init_pr_state(net.n_out_layers)
                 vloss_sum, vlogs = 0.0, {}
                 for _ in range(test_epoch_step):
                     hb = next(test_batches)
                     data_rng, k = jax.random.split(data_rng)
-                    images, labels = preprocess_test(
+                    pr, vlogs = eval_step(
+                        state.params, state.batch_stats, pr,
                         jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
                         jnp.asarray(hb.boxes), jnp.asarray(hb.valid), k)
-                    pr, vlogs = eval_step(state.params, state.batch_stats, pr, images, labels)
                     vloss_sum += float(vlogs["val_loss"])
                 rate = train_epoch_step * cfg.batch_size / max(dt, 1e-9)
                 log_fn(f"epoch {epoch + 1} done in {dt:.1f}s ({rate:.0f} img/s)  "

@@ -22,7 +22,7 @@ def test_precision_recall_fixed_semantics():
     yts, yps = _batches()
     s = M.update_pr_state(M.init_pr_state(), yts, yps, thresh=0.7)
     p, r = M.pr_results(s)
-    assert float(s["tp"]) == 1 and float(s["fp"]) == 1 and float(s["fn"]) == 1
+    assert float(s["tp"][0]) == 1 and float(s["fp"][0]) == 1 and float(s["fn"][0]) == 1
     assert abs(float(p) - 0.5) < 1e-6 and abs(float(r) - 0.5) < 1e-6
 
 
@@ -36,8 +36,8 @@ def test_compat_logits_reproduces_reference_bug():
     fixed = M.update_pr_state(M.init_pr_state(), [jnp.asarray(yt)], [jnp.asarray(yp)], 0.7)
     compat = M.update_pr_state(M.init_pr_state(), [jnp.asarray(yt)], [jnp.asarray(yp)], 0.7,
                                compat_logits=True)
-    assert float(fixed["tp"]) == 0 and float(fixed["fn"]) == 1
-    assert float(compat["tp"]) == 1 and float(compat["fn"]) == 0
+    assert float(fixed["tp"][0]) == 0 and float(fixed["fn"][0]) == 1
+    assert float(compat["tp"][0]) == 1 and float(compat["fn"][0]) == 0
 
 
 def test_div_no_nan_on_empty():
@@ -50,4 +50,26 @@ def test_streaming_accumulates():
     s = M.init_pr_state()
     s = M.update_pr_state(s, yts, yps, 0.7)
     s = M.update_pr_state(s, yts, yps, 0.7)
-    assert float(s["tp"]) == 2 and float(s["fp"]) == 2 and float(s["fn"]) == 2
+    assert float(s["tp"][0]) == 2 and float(s["fp"][0]) == 2 and float(s["fn"][0]) == 2
+
+
+def test_per_layer_pr_isolation():
+    """Layer counters are independent: a TP on layer 1 and an FP on layer 2
+    must land in their own rows (the reference's per-output metric pairs,
+    keras_train.py:79)."""
+    yt1 = np.zeros((1, 2, 2, 1, 25), np.float32)
+    yp1 = np.zeros((1, 2, 2, 1, 25), np.float32)
+    yt1[0, 0, 0, 0, 4] = 1.0
+    yp1[0, 0, 0, 0, 4] = 4.0   # layer-1 TP
+    yt2 = np.zeros((1, 4, 4, 1, 25), np.float32)
+    yp2 = np.zeros((1, 4, 4, 1, 25), np.float32)
+    yp2[0, 1, 1, 0, 4] = 4.0   # layer-2 FP
+    s = M.update_pr_state(M.init_pr_state(2),
+                          [jnp.asarray(yt1), jnp.asarray(yt2)],
+                          [jnp.asarray(yp1), jnp.asarray(yp2)], 0.7)
+    assert list(np.asarray(s["tp"])) == [1.0, 0.0]
+    assert list(np.asarray(s["fp"])) == [0.0, 1.0]
+    p_l, r_l = M.pr_results_per_layer(s)
+    assert float(p_l[0]) == 1.0 and float(p_l[1]) == 0.0
+    p, r = M.pr_results(s)  # aggregate pools the counters
+    assert abs(float(p) - 0.5) < 1e-6

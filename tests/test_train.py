@@ -52,6 +52,29 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 8
 
 
+def test_train_step_per_layer_telemetry():
+    """The reference streams one loss + P/R pair PER output layer
+    (keras_train.py:73-79): per-layer keys must exist and the layer losses
+    must sum to the total."""
+    cfg = TrainConfig(batch_size=4)
+    net = _net()
+    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    step = T.make_train_step(net, SPEC, cfg, train_epoch_step=10)
+    rng = np.random.default_rng(5)
+    images, labels = _batch(rng)
+    state, logs = step(state, images, labels)
+    for l in range(net.n_out_layers):
+        for k in (f"l{l + 1}_loss", f"l{l + 1}_p", f"l{l + 1}_r"):
+            assert k in logs, k
+    total = sum(float(logs[f"l{l + 1}_loss"]) for l in range(net.n_out_layers))
+    assert abs(total - float(logs["loss"])) < 1e-4 * max(1.0, abs(total))
+    # aggregate P/R must be consistent with the per-layer counters
+    from k210_yolo_framework_tpu.training import metrics as M
+    p, r = M.pr_results(state.pr)
+    assert abs(float(p) - float(logs["p"])) < 1e-6
+    assert abs(float(r) - float(logs["r"])) < 1e-6
+
+
 def test_keras_adam_decay_schedule():
     s = T.keras_adam_schedule(0.001, 0.1)
     assert abs(s(0) - 0.001) < 1e-9
@@ -66,10 +89,14 @@ def test_eval_step_runs_and_accumulates():
     rng = np.random.default_rng(1)
     images, labels = _batch(rng)
     from k210_yolo_framework_tpu.training import metrics as M
-    pr, logs = ev(state.params, state.batch_stats, M.init_pr_state(), images, labels)
+    pr, logs = ev(state.params, state.batch_stats,
+                  M.init_pr_state(net.n_out_layers), images, labels)
     assert np.isfinite(float(logs["val_loss"]))
+    # per-layer validation telemetry mirrors the train step's
+    assert np.isfinite(float(logs["val_l1_loss"]))
+    assert np.isfinite(float(logs["val_l2_loss"]))
     pr2, _ = ev(state.params, state.batch_stats, pr, images, labels)
-    assert float(pr2["fn"]) >= float(pr["fn"])
+    assert float(np.sum(pr2["fn"])) >= float(np.sum(pr["fn"]))
 
 
 def test_pruning_schedule_and_masks():
