@@ -82,7 +82,8 @@ def export_tflite(net: YoloNet, variables: Dict, batch: int = 1,
 
 
 def export_serving_stablehlo(predictor, batch: int = 1,
-                             canvas_hw=None) -> bytes:
+                             canvas_hw=None,
+                             top_k: Optional[int] = None) -> bytes:
     """Serialize the FULL serving program — uint8 frames in, NMS'd boxes out
     (letterbox + conv stack + decode + per-class NMS) — as StableHLO.
 
@@ -121,14 +122,17 @@ def export_serving_stablehlo(predictor, batch: int = 1,
             return D.decode_outputs(pred_list, spec, hw, predictor.class_softmax)
 
         boxes, scores = jax.vmap(decode_one)(preds, img_hws)
-        # top_k must cover max_out (and low-threshold configs need slack):
-        # the default 64 would silently truncate the candidate pool the
-        # greedy pass sees — the exact bug the live Predictor avoids by
-        # NMSing the full set in its Pallas kernel (inference.py).
-        top_k = max(64, 4 * predictor.max_out)
+        # By default NMS the FULL decoded candidate set (sum of h*w*a over
+        # layers — 1050 at 224x320), exactly like the live Predictor's
+        # Pallas kernel: any smaller top_k can truncate the pool a dense
+        # low-threshold scene feeds the greedy pass, making the exported
+        # artifact diverge from live serving.  ``top_k`` stays exposed for
+        # targets where the sort budget matters.
+        k = top_k if top_k is not None else sum(
+            hw[0] * hw[1] * spec.nanchors for hw in spec.out_hws)
         return tuple(N.batched_nms(boxes, scores, predictor.obj_thresh,
                                    predictor.iou_thresh, predictor.max_out,
-                                   top_k=top_k))
+                                   top_k=k))
 
     c_spec = jax.ShapeDtypeStruct((batch, canvas_hw[0], canvas_hw[1], 3), jnp.uint8)
     hw_spec = jax.ShapeDtypeStruct((batch, 2), jnp.int32)

@@ -76,7 +76,10 @@ def letterbox_image(img: jnp.ndarray, img_hw: jnp.ndarray, in_hw: Tuple[int, int
                                  _fill_triangle_kernel, False)
         out = jnp.einsum("hwc,hi,wj->ijc", img.astype(dtype),
                          w_h.astype(dtype), w_w.astype(dtype))
-    except ImportError:  # private helper moved: correct-but-fp32 fallback
+    except (ImportError, TypeError):
+        # private helper moved or changed signature: correct-but-fp32 fallback
+        # (the parity test in tests/test_letterbox.py pins the two paths
+        # against each other on every JAX upgrade)
         out = jax.image.scale_and_translate(
             img.astype(jnp.float32),
             shape=(in_hw[0], in_hw[1], img.shape[-1]),

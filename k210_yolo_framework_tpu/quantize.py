@@ -46,8 +46,8 @@ class QTensor(NamedTuple):
 
 def _quantize_leaf(w: jnp.ndarray) -> QTensor:
     w = jnp.asarray(w, jnp.float32)
-    if w.ndim == 4:  # conv kernel HWIO: per-output-channel
-        amax = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True)
+    if w.ndim >= 2:  # conv/dense kernel [..., O]: per-output-channel
+        amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
     else:
         amax = jnp.max(jnp.abs(w))
     scale = jnp.maximum(amax, 1e-12) / 127.0
@@ -55,12 +55,16 @@ def _quantize_leaf(w: jnp.ndarray) -> QTensor:
     return QTensor(q=q, scale=scale.astype(jnp.float32))
 
 
-def _should_quantize(leaf) -> bool:
-    # kernels and biases; BN scale/bias/statistics are 1-d too but live in
-    # small tensors whose precision matters (they fold the conv epilogue) —
-    # quantize only >=2-d leaves (kernels) to match the KPU split.
+def _should_quantize(path, leaf) -> bool:
+    # Quantize only conv/dense KERNELS, identified by the param path name
+    # (pruning.is_prunable uses the same gate) — biases, BN scale/bias and
+    # statistics stay fp32 (they fold the conv epilogue, where precision
+    # matters; the KPU likewise keeps per-channel bias terms wide).
     # jnp.issubdtype, NOT np's: np.issubdtype(bfloat16, np.floating) is
     # False, which would silently skip bf16 param trees.
+    names = [str(getattr(p, "key", "")) for p in path]
+    if "kernel" not in names:
+        return False
     if not hasattr(leaf, "ndim") or leaf.ndim < 2:
         return False
     dtype = leaf.dtype if hasattr(leaf, "dtype") else np.asarray(leaf).dtype
@@ -69,8 +73,8 @@ def _should_quantize(leaf) -> bool:
 
 def quantize_tree(tree: Any) -> Any:
     """params pytree -> same tree with every conv kernel as a QTensor."""
-    return jax.tree.map(
-        lambda w: _quantize_leaf(w) if _should_quantize(w) else w, tree)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, w: _quantize_leaf(w) if _should_quantize(p, w) else w, tree)
 
 
 def dequantize_tree(tree: Any, dtype=jnp.float32) -> Any:

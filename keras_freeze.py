@@ -32,20 +32,33 @@ def main(args):
     rep_images = None
     if args.tflite_dataset:
         # calibration set for full-int8 PTQ — the nncase `--dataset` analogue
-        # (/root/reference/README.md:152-154)
+        # (/root/reference/README.md:152-154).  Each image goes through the
+        # SAME preprocessing the deployed model sees (stage -> letterbox ->
+        # img/max normalize), not a distorting resize: activation ranges
+        # calibrated on a padded/aspect-true pixel distribution.
         import numpy as np
         from PIL import Image
+
+        from k210_yolo_framework_tpu.data.pipeline import CANVAS_HW, stage_image
+        from k210_yolo_framework_tpu.ops import letterbox as LB
 
         paths = sorted(p for p in Path(args.tflite_dataset).iterdir()
                        if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp"))
         if not paths:
             raise SystemExit(f"no images in --tflite_dataset {args.tflite_dataset}")
-        rep_images = np.stack([
-            np.asarray(Image.open(p).convert("RGB")
-                       .resize((spec.in_hw[1], spec.in_hw[0])),
-                       np.float32) / 255.0
-            for p in paths[:64]])
-        print(NOTE, f"full-int8 calibration over {len(rep_images)} images")
+        staged = [stage_image(np.asarray(Image.open(p).convert("RGB")), CANVAS_HW)
+                  for p in paths[:64]]
+        canvases = np.stack([c for c, _ in staged])
+        hws = np.stack([hw for _, hw in staged])
+
+        def _prep(canvas, hw):
+            img = LB.letterbox_image(canvas, hw, spec.in_hw)
+            return LB.normalize_image(img)
+
+        rep_images = np.asarray(jax.jit(jax.vmap(_prep))(canvases, hws),
+                                np.float32)
+        print(NOTE, f"full-int8 calibration over {len(rep_images)} images "
+                    "(serving-parity letterbox preprocessing)")
 
     out_dir = args.out_dir or str(Path(args.pre_ckpt).parent / "Freeze_save")
     arts = freeze(net, variables, spec, out_dir,

@@ -58,9 +58,8 @@ def test_serving_stablehlo_roundtrip():
     hws = jnp.asarray(np.tile([80, 96], (2, 1)).astype(np.int32))
     boxes, scores, classes, valid = restored.call(canv, hws)
     # reference result from the same (XLA-NMS) math the artifact embeds;
-    # the live Predictor's Pallas kernel NMSes the full candidate set while
-    # the portable artifact top-64-prefilters, so compare like with like.
-    from k210_yolo_framework_tpu.export import export_serving_stablehlo as _  # noqa
+    # the artifact now NMSes the FULL decoded candidate pool by default,
+    # exactly like the live Predictor's Pallas kernel (ADVICE round 2).
     from k210_yolo_framework_tpu.ops import decode as D, letterbox as LB, nms as N
     def one(canvas, hw):
         img = LB.letterbox_image(canvas, hw, spec.in_hw, dtype=jnp.float32)
@@ -69,8 +68,9 @@ def test_serving_stablehlo_roundtrip():
     preds = net.apply(pred.variables, imgs)
     b, s = jax.vmap(lambda p0, p1, hw: D.decode_outputs([p0, p1], spec, hw, False))(
         preds[0], preds[1], hws)
+    full_k = sum(hw[0] * hw[1] * spec.nanchors for hw in spec.out_hws)
     want = N.batched_nms(b, s, 0.05, pred.iou_thresh, pred.max_out,
-                         top_k=max(64, 4 * pred.max_out))
+                         top_k=full_k)
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(want.valid))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(want.scores),
                                rtol=1e-5, atol=1e-6)
@@ -113,8 +113,9 @@ def test_serving_stablehlo_int8_keeps_quantized_weights():
     preds = net.apply(deq, imgs)
     b, s = jax.vmap(lambda p0, p1, hw: D.decode_outputs([p0, p1], spec, hw, False))(
         preds[0], preds[1], hws)
+    full_k = sum(hw[0] * hw[1] * spec.nanchors for hw in spec.out_hws)
     want = N.batched_nms(b, s, 0.05, q.iou_thresh, q.max_out,
-                         top_k=max(64, 4 * q.max_out))
+                         top_k=full_k)
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(want.valid))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(want.scores),
                                rtol=1e-5, atol=1e-6)
