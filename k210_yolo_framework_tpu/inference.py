@@ -65,15 +65,27 @@ class Predictor:
         ``quantize='int8'`` serves from per-channel int8 conv kernels (the
         reference's kmodel device story, see ``quantize.py``): weights are
         stored int8 on device and dequantized inside the jitted program.
+
+        ``quantize='int8_act'`` additionally computes the dense convs
+        int8 x int8 -> int32 ON the MXU (models.layers.Int8Act) — the full
+        KPU-style uint8-end-to-end analogue; weights stay fp32 masters,
+        quantized inside the program (dynamic activation scales, no
+        calibration pass).
         """
         import dataclasses
+
+        from k210_yolo_framework_tpu.models.layers import Int8Act
         if compute_dtype is None:
             compute_dtype = getattr(net.module, "dtype", jnp.float32)
-        if getattr(net.module, "dtype", None) != compute_dtype:
+        if isinstance(compute_dtype, Int8Act):  # normalize: flag via quantize=
+            compute_dtype = compute_dtype.out_dtype
+        module_dtype = Int8Act(compute_dtype) if quantize == "int8_act" \
+            else compute_dtype
+        if getattr(net.module, "dtype", None) != module_dtype:
             net = dataclasses.replace(
-                net, module=net.module.clone(dtype=compute_dtype))
+                net, module=net.module.clone(dtype=module_dtype))
         self.net = net
-        if quantize not in (None, "int8"):
+        if quantize not in (None, "int8", "int8_act"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.quantize = quantize
         if quantize == "int8":
@@ -91,7 +103,7 @@ class Predictor:
 
     def _materialize(self, variables):
         """Traceable: int8 QTensor kernels -> dense fp32 (inside jit)."""
-        if self.quantize is None:
+        if self.quantize in (None, "int8_act"):  # int8_act keeps fp32 masters
             return variables
         from k210_yolo_framework_tpu.quantize import dequantize_tree
         return {**variables, "params": dequantize_tree(variables["params"])}
@@ -205,6 +217,10 @@ def draw_detections(img: np.ndarray, det: Detections,
     drawer = ImageDraw.Draw(pil)
     thickness = (img.shape[0] + img.shape[1]) // 300
     for box, score, cls in zip(det.boxes, det.scores, det.classes):
+        # untrained/garbage weights can decode exp(wh) to inf — clamp to the
+        # image frame BEFORE the int conversion instead of crashing
+        box = np.nan_to_num(np.asarray(box, np.float64),
+                            posinf=max(img.shape[:2]) * 2.0, neginf=-1.0)
         top, left, bottom, right = box
         top = max(0, int(np.floor(top + 0.5)))
         left = max(0, int(np.floor(left + 0.5)))

@@ -32,12 +32,50 @@ __all__ = [
     "ConvBN",
     "DarknetConvBN",
     "DepthwiseConv",
+    "Int8Act",
     "darknet_head_conv",
     "depthwise_conv",
     "leaky_relu",
     "relu6",
     "upsample2x",
 ]
+
+
+class Int8Act:
+    """Compute-dtype sentinel: run the DENSE convs int8 x int8 -> int32 on
+    the MXU (v5e int8 peak is 2x bf16), dequantizing into ``out_dtype``.
+
+    The KPU analogue of uint8 end-to-end serving (reference README.md:152-154
+    — nncase quantizes activations too).  Activations are quantized
+    dynamically per tensor (amax inside the program — no calibration pass),
+    weights per output channel; depthwise convs, the 3-channel stem and the
+    bias-carrying head 1x1 stay in ``out_dtype`` (they are VPU/precision
+    work, not MXU volume).  Thread it anywhere a builder accepts ``dtype``:
+    ``build_network(..., dtype=Int8Act())`` or
+    ``Predictor(..., quantize="int8_act")``.
+    """
+
+    def __init__(self, out_dtype: Any = jnp.bfloat16):
+        self.out_dtype = out_dtype
+
+    # modules hash their attributes for the jit cache key
+    def __hash__(self):
+        return hash((Int8Act, jnp.dtype(self.out_dtype).name))
+
+    def __eq__(self, other):
+        return (isinstance(other, Int8Act)
+                and jnp.dtype(self.out_dtype) == jnp.dtype(other.out_dtype))
+
+    def __repr__(self):
+        return f"Int8Act({jnp.dtype(self.out_dtype).name})"
+
+
+def _split_dtype(dtype):
+    """(compute dtype for VPU/precision paths, int8_act?) from a ``dtype``
+    attribute that may be the :class:`Int8Act` sentinel."""
+    if isinstance(dtype, Int8Act):
+        return dtype.out_dtype, True
+    return dtype, False
 
 # Marker prefix for conv kernels carrying the reference's l2(5e-4)
 # regularizer (yolonet.py:247); training.loss.l2_penalty scans for it.
@@ -96,6 +134,41 @@ class _StemConv(nn.Module):
         # transpose the kernel to match before flattening.
         k2 = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(-1, self.features)
         return patches @ k2.astype(self.dtype)
+
+
+class _Int8Conv(nn.Module):
+    """Dense conv computed int8 x int8 -> int32 on the MXU.
+
+    Param name/shape/init match ``nn.Conv`` exactly (fp32 master kernel), so
+    checkpoints are interchangeable with the bf16 path; quantization happens
+    inside the program each call: dynamic per-tensor activation scale,
+    per-output-channel weight scale, symmetric round-to-nearest, int32
+    accumulation, fp32 rescale.  Scale math runs fp32 (bf16 spacing at +-127
+    is 0.5 — half a quantum of avoidable noise).
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Any
+    out_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, x.shape[-1], self.features))
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        kf = k.astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+        kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, kq, tuple(self.strides), self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (sx * sw)).astype(self.out_dtype)
 
 
 def _dw_conv(x: jnp.ndarray, kernel: jnp.ndarray, strides: Tuple[int, int],
@@ -223,6 +296,7 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dtype, int8_act = _split_dtype(self.dtype)
         pad = _pad_for(self.strides, self.explicit_pad)
         if self.explicit_pad is not None:
             x = jnp.pad(x, ((0, 0),) + tuple(self.explicit_pad) + ((0, 0),))
@@ -233,7 +307,7 @@ class ConvBN(nn.Module):
                 kernel=self.kernel,
                 strides=self.strides,
                 padding=pad,
-                dtype=self.dtype,
+                dtype=dtype,
                 safe_grad=self.safe_dw_grad,
                 name="conv",
             )(x)
@@ -246,7 +320,18 @@ class ConvBN(nn.Module):
                 features=self.features,
                 kernel=self.kernel,
                 strides=self.strides,
-                dtype=self.dtype,
+                dtype=dtype,
+                name="conv",
+            )(x)
+        elif int8_act and not self.use_bias:
+            # biased dense convs (none in this zoo) would need the bias added
+            # post-rescale under the "conv" scope — keep them on nn.Conv
+            x = _Int8Conv(
+                features=self.features,
+                kernel=self.kernel,
+                strides=self.strides,
+                padding=pad,
+                out_dtype=dtype,
                 name="conv",
             )(x)
         else:
@@ -256,7 +341,7 @@ class ConvBN(nn.Module):
                 strides=self.strides,
                 padding=pad,
                 use_bias=self.use_bias,
-                dtype=self.dtype,
+                dtype=dtype,
                 name="conv",
             )(x)
         if self.bn:
@@ -305,11 +390,14 @@ class darknet_head_conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # under Int8Act the head 1x1 stays in the wide dtype: its output IS
+        # the decode surface, where quantization noise costs box accuracy
+        dtype, _ = _split_dtype(self.dtype)
         return nn.Conv(
             features=self.features,
             kernel_size=(1, 1),
             padding="SAME",
             use_bias=True,
-            dtype=self.dtype,
+            dtype=dtype,
             name=f"{DARKNET_CONV_PREFIX}_out",
         )(x)

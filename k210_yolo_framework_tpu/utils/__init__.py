@@ -1,3 +1,18 @@
-"""Misc utilities: colormap, console log prefixes."""
+"""Misc utilities: colormap, console log prefixes, CLI flag parsing."""
+
+from typing import Optional
 
 from k210_yolo_framework_tpu.utils.console import ERROR, INFO, NOTE  # noqa: F401
+
+
+def quantize_mode(flag: str) -> Optional[str]:
+    """Parse the CLI ``--quantize`` string (reference-style string booleans,
+    keras_train.py:46): 'true'/'int8' -> int8 weight storage; 'int8_act' ->
+    int8 MXU conv compute with dynamic activation quantization (fp32 weight
+    masters, quantized inside the program); anything else -> None."""
+    v = str(flag).lower()
+    if v in ("true", "int8"):
+        return "int8"
+    if v == "int8_act":
+        return "int8_act"
+    return None

@@ -25,7 +25,7 @@ def main(args):
     from k210_yolo_framework_tpu.models import build_network
     from k210_yolo_framework_tpu.training import checkpoint as CK
     from k210_yolo_framework_tpu.training import train as T
-    from k210_yolo_framework_tpu.utils import INFO, NOTE
+    from k210_yolo_framework_tpu.utils import INFO, NOTE, quantize_mode
 
     spec = YoloSpec.from_files(
         f"data/{args.train_set}_anchor.npy",
@@ -43,8 +43,7 @@ def main(args):
                      iou_thresh=args.iou_thresh, max_out=args.max_out,
                      compute_dtype=jnp.bfloat16
                      if str(args.bf16).lower() == "true" else jnp.float32,
-                     quantize="int8" if str(args.quantize).lower()
-                     in ("true", "int8") else None)
+                     quantize=quantize_mode(args.quantize))
     ann = load_ann_list(f"data/{args.train_set}_img_ann.npy")
     if args.limit:
         ann = ann[:args.limit]
@@ -94,7 +93,8 @@ def parse_args(argv):
     parser.add_argument("--quantize", type=str, default="False",
                         help="int8: serve from per-channel int8 conv kernels "
                              "(the reference's kmodel quantization story) — "
-                             "measures the mAP cost of quantized serving")
+                             "measures the mAP cost of quantized serving; "
+                             "int8_act: also int8 MXU conv compute")
     parser.add_argument("--limit", type=int, default=0)
     return parser.parse_args(argv)
 

@@ -25,7 +25,7 @@ def main(args):
     from k210_yolo_framework_tpu.training import checkpoint as CK
     from k210_yolo_framework_tpu.training import train as T
     from k210_yolo_framework_tpu.config import TrainConfig
-    from k210_yolo_framework_tpu.utils import INFO, NOTE
+    from k210_yolo_framework_tpu.utils import INFO, NOTE, quantize_mode
 
     spec = YoloSpec.from_files(
         f"data/{args.train_set}_anchor.npy",
@@ -44,8 +44,7 @@ def main(args):
                      obj_thresh=args.obj_thresh, iou_thresh=args.iou_thresh,
                      compute_dtype=jnp.bfloat16 if str(args.bf16).lower() == "true"
                      else None,
-                     quantize="int8" if str(args.quantize).lower() in ("true", "int8")
-                     else None)
+                     quantize=quantize_mode(args.quantize))
     img = read_image(args.test_image)
     det = pred.predict_image(img)
 
@@ -81,7 +80,9 @@ def parse_args(argv):
                              "exact fp32 reference numerics)")
     parser.add_argument("--quantize", type=str, default="False",
                         help="'int8' (or 'True') serves from per-channel int8 "
-                             "conv kernels — the kmodel device-story analogue")
+                             "conv kernels — the kmodel device-story analogue; "
+                             "'int8_act' also computes dense convs in int8 on "
+                             "the MXU (dynamic activation quantization)")
     parser.add_argument("pre_ckpt", type=str)
     parser.add_argument("test_image", type=str)
     return parser.parse_args(argv)

@@ -87,6 +87,41 @@ def test_int8_serving_matches_fp32_boxes():
     assert matched >= 0.8 * len(a.boxes), (matched, len(a.boxes))
 
 
+def test_int8_act_serving_matches_fp32_boxes():
+    """quantize='int8_act' (int8 MXU conv compute, dynamic activation
+    scales — models.layers.Int8Act) keeps detections close to fp32.
+    Activation quantization adds more noise than weight-only int8, so the
+    match criteria are looser but still bound the error."""
+    net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
+                        SPEC.class_num, alpha=0.25)
+    variables = net.init(jax.random.PRNGKey(3))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    kw = dict(obj_thresh=0.1, iou_thresh=0.3, max_out=10)
+    fp32 = Predictor(net, variables, SPEC, **kw)
+    i8a = Predictor(net, variables, SPEC, quantize="int8_act", **kw)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    a = fp32.predict_image(img)
+    b = i8a.predict_image(img)
+    assert len(a.boxes) > 0, "test needs at least one fp32 detection"
+
+    def iou(x, y):
+        ymin, xmin = max(x[0], y[0]), max(x[1], y[1])
+        ymax, xmax = min(x[2], y[2]), min(x[3], y[3])
+        inter = max(ymax - ymin, 0) * max(xmax - xmin, 0)
+        ax = (x[2] - x[0]) * (x[3] - x[1])
+        ay = (y[2] - y[0]) * (y[3] - y[1])
+        return inter / max(ax + ay - inter, 1e-9)
+
+    matched = sum(
+        any(cls == cls2 and iou(box, box2) >= 0.5 and abs(score - score2) < 0.15
+            for box2, score2, cls2 in zip(b.boxes, b.scores, b.classes))
+        for box, score, cls in zip(a.boxes, a.scores, a.classes))
+    assert matched >= 0.7 * len(a.boxes), (matched, len(a.boxes))
+
+
 def test_fake_quant_forward_close_to_fp32():
     net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
                         SPEC.class_num, alpha=0.25)
