@@ -13,6 +13,10 @@ Default mode prints ONE json line — the BASELINE.md north-star metric —
   serve_int8          serving from per-channel int8 conv kernels (the
                       kmodel-analogue quantized path; HBM weight traffic
                       quartered, dequant fused into the program).
+  serve_int8act       int8 MXU conv compute with dynamic activation
+                      quantization (models.layers.Int8Act) — the KPU
+                      uint8-end-to-end analogue; answers whether v5e's 2x
+                      int8 MXU peak is harvestable for this net.
   serve_scan          the same serving program iterated K=8 times inside
                       ONE dispatched program (lax.scan): amortizes the
                       per-dispatch host/tunnel latency to show the pure
@@ -108,8 +112,51 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
         best = min(best, time.perf_counter() - t0)
 
     v = batch * iters / best
-    return {"metric": metric, "value": round(v, 1), "unit": "imgs/sec",
-            "vs_baseline": round(v / BASE_SERVE, 4)}
+
+    # Latency: the reference's device story is a LIVE camera loop
+    # (yolo3_frame_test_public main.c:294-328) — throughput alone hides it.
+    # Per-dispatch latency = submit -> result-on-host, timed synchronously.
+    lat = _latency_ms(step, jnp.copy(canvases))
+    out = {"metric": metric, "value": round(v, 1), "unit": "imgs/sec",
+           "vs_baseline": round(v / BASE_SERVE, 4),
+           "batch": batch,
+           "batch_latency_ms_p50": lat["p50"],
+           "batch_latency_ms_p99": lat["p99"]}
+
+    if metric == "e2e_infer_imgs_per_sec_per_chip":
+        # single-frame (batch-1) program: the camera-loop latency floor
+        canv1 = jnp.asarray(
+            rng.integers(0, 256, (1, *canvas_hw, 3)).astype(np.uint8))
+        hw1 = jnp.asarray(np.asarray([canvas_hw], np.int32))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step1(canv):
+            res = pred._run_batch(pred.variables, canv, hw1)
+            bump = (res.scores.sum() > 1e9).astype(jnp.uint8)
+            return canv + bump, res.scores.sum()
+
+        lat1 = _latency_ms(step1, canv1)
+        out["single_frame_latency_ms_p50"] = lat1["p50"]
+        out["single_frame_latency_ms_p99"] = lat1["p99"]
+    return out
+
+
+def _latency_ms(step, canv, n=40):
+    """Synchronous round-trip times for a donated (canv)->(canv, scalar)
+    program: each iteration fetches the scalar, so the next submit waits for
+    full completion (the chained-timing rule this platform requires)."""
+    import time as _t
+    canv, out = step(canv)      # ensure compiled for this buffer layout
+    _ = float(out)
+    ts = []
+    for _i in range(n):
+        t0 = _t.perf_counter()
+        canv, out = step(canv)
+        _ = float(out)          # host fetch = completion barrier
+        ts.append((_t.perf_counter() - t0) * 1e3)
+    ts = np.sort(np.asarray(ts))
+    return {"p50": round(float(np.percentile(ts, 50)), 3),
+            "p99": round(float(np.percentile(ts, 99)), 3)}
 
 
 def bench_serve_scan(canvas_hw=(240, 320), k=8):
@@ -186,6 +233,21 @@ def bench_loader():
         hb = next(it)  # warmup/compile
         _ = float(run(jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws)))
 
+        # breakdown: (1) host decode+stage only, (2) + h2d transfer — so the
+        # overlap loss vs the combined number below is quantified, not argued
+        nb_probe = 6
+        t0 = time.perf_counter()
+        probes = [next(it) for _ in range(nb_probe)]
+        t_decode = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for p in probes:
+            jax.block_until_ready(jnp.asarray(p.canvases))
+        t_h2d = time.perf_counter() - t0
+        bytes_per_batch = probes[0].canvases.nbytes
+        decode_rate = nb_probe * batch / max(t_decode, 1e-9)
+        h2d_gbps = nb_probe * bytes_per_batch / max(t_h2d, 1e-9) / 1e9
+        del probes
+
         nbatches = 12
         t0 = time.perf_counter()
         pending = []
@@ -202,7 +264,9 @@ def bench_loader():
                 "value": round(v, 1), "unit": "imgs/sec",
                 "vs_baseline": round(v / BASE_SERVE, 4),
                 "native_loader": pipe.use_native,
-                "host_cores": os.cpu_count()}
+                "host_cores": os.cpu_count(),
+                "host_decode_stage_imgs_per_sec": round(decode_rate, 1),
+                "h2d_gbps": round(h2d_gbps, 2)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -274,9 +338,10 @@ def bench_train():
 
 
 def bench_train_e2e():
-    """Preprocess + train step chained: the device-side cost of one REAL
-    training step (the `train` mode feeds pre-made images).  Canvases stay
-    resident on device (host decode/transfer is the `loader` mode's job)."""
+    """Preprocess + train step FUSED in one jitted program: the device-side
+    cost of one REAL training step (the `train` mode feeds pre-made images).
+    Canvases stay resident on device (host decode/transfer is the `loader`
+    mode's job)."""
     import jax
     import jax.numpy as jnp
 
@@ -292,8 +357,10 @@ def bench_train_e2e():
                         spec.class_num, alpha=ALPHA, dtype=jnp.bfloat16,
                         safe_dw_grad=False)
     state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
-    step = T.make_train_step(net, spec, cfg, train_epoch_step=100)
     pp = PL.make_preprocess_fn(spec, is_training=True, dtype=jnp.bfloat16)
+    # ONE fused program (preprocess -> step), the fit() hot path
+    step = T.make_fused_train_step(net, spec, cfg, train_epoch_step=100,
+                                   preprocess=pp)
 
     rng = np.random.default_rng(0)
     canv = jnp.asarray(rng.integers(0, 256, (batch, 512, 512, 3)).astype(np.uint8))
@@ -306,8 +373,7 @@ def bench_train_e2e():
 
     def one_step(state, key):
         key, sk = jax.random.split(key)
-        images, labels = pp(canv, hws, boxes, valid, sk)
-        state, logs = step(state, images, labels)
+        state, logs = step(state, canv, hws, boxes, valid, sk)
         return state, logs, key
 
     key = jax.random.PRNGKey(1)
@@ -333,7 +399,8 @@ def main():
     global MODEL_DEF, ALPHA, SERVE_BATCH, TRAIN_BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
-                    choices=["serve", "serve512", "serve_int8", "serve_scan",
+                    choices=["serve", "serve512", "serve_int8",
+                             "serve_int8act", "serve_scan",
                              "loader", "train", "train_e2e", "all"])
     ap.add_argument("--model_def", default=MODEL_DEF,
                     help="any 2-output-layer builder under the VOC spec "
@@ -352,6 +419,9 @@ def main():
             (512, 512), metric="e2e_infer_512canvas_imgs_per_sec_per_chip")],
         "serve_int8": lambda: [bench_serve(
             metric="e2e_infer_int8w_imgs_per_sec_per_chip", quantize="int8")],
+        "serve_int8act": lambda: [bench_serve(
+            metric="e2e_infer_int8act_imgs_per_sec_per_chip",
+            quantize="int8_act")],
         "serve_scan": lambda: [bench_serve_scan()],
         "loader": lambda: [bench_loader()],
         "train": lambda: [bench_train()],
