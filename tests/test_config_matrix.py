@@ -1,0 +1,240 @@
+"""BASELINE.json's five stress configs, each run END TO END as one flow.
+
+The driver metadata (BASELINE.json:configs) promises five concrete
+configurations work; round-2 review found them only piecewise covered
+("each piece works" != "each promised config works").  Every test here runs
+the production path for its config — real `fit` loop (fused preprocess +
+train step) or real Predictor serving — then eval and/or export, at reduced
+spatial/grid sizes so the whole matrix stays runnable on the CPU test mesh.
+
+Anchor values come from the VOC kmeans set the reference ships
+(data/voc_anchor.npy — hardcoded in config.VOC_ANCHORS exactly as the
+firmware hardcodes them, main.c:46-51); anchors are normalized, so they are
+valid at any input resolution.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec, VOC_ANCHORS
+from k210_yolo_framework_tpu.data import pipeline as PL
+from k210_yolo_framework_tpu.eval import evaluate_map
+from k210_yolo_framework_tpu.inference import Predictor
+from k210_yolo_framework_tpu.models import build_network
+from k210_yolo_framework_tpu.training import checkpoint as CK
+from k210_yolo_framework_tpu.training import pruning as P
+from k210_yolo_framework_tpu.training import train as T
+
+pytestmark = pytest.mark.slow
+
+
+def _spec(layers=2, class_num=20, anchors=None, anchor_num=3):
+    """96x96 spec with the promised grid-stride structure (32/16[/8])."""
+    grids = ((3, 3), (6, 6), (12, 12))[:layers]
+    if anchors is None:
+        rng = np.random.default_rng(0)
+        base = np.sort(rng.uniform(0.1, 0.8, (layers, anchor_num, 2)))[:, ::-1, :]
+        anchors = base
+    return YoloSpec.create((96, 96), grids, class_num, anchors)
+
+
+def _fit_short(net, spec, cfg, tmp_path, n_img=8, epochs=2, steps=3):
+    """Run the PRODUCTION train loop (fused preprocess+step, per-layer
+    telemetry, signal guards) for a couple of tiny epochs."""
+    ann = PL.synthetic_ann_list(str(tmp_path), n=n_img, class_num=spec.class_num,
+                               seed=3)
+    pipe = PL.DataPipeline(ann, cfg.batch_size, seed=1, use_native=False,
+                           canvas_hw=(256, 256))
+    pp_train = PL.make_preprocess_fn(spec, is_training=cfg.augment,
+                                     canvas_hw=(256, 256))
+    pp_test = PL.make_preprocess_fn(spec, is_training=False,
+                                    canvas_hw=(256, 256))
+    import dataclasses
+    lines = []
+    cfg = dataclasses.replace(cfg, max_epochs=epochs)
+    state = T.fit(net, spec, cfg, iter(pipe), iter(pipe), pp_train, pp_test,
+                  train_epoch_step=steps, test_epoch_step=1,
+                  rng=jax.random.PRNGKey(0), log_fn=lines.append)
+    return state, ann, lines
+
+
+def test_cfg1_mobilev1_075_single_image_inference(tmp_path):
+    """Config 1: yolo_mobilev1 DEPTHMUL=0.75 single-image inference via a
+    saved h5 — the README demo flow (h5 -> predict -> 2-scale decode+NMS)."""
+    spec = _spec()
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.75)
+    variables = net.init(jax.random.PRNGKey(0))
+    h5 = str(tmp_path / "yolo_model.h5")
+    CK.save_h5(h5, jax.device_get(variables))
+    template = {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]}
+    loaded = CK.load_h5(h5, template)
+
+    pred = Predictor(net, loaded, spec, obj_thresh=0.1, iou_thresh=0.45,
+                     max_out=10)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (230, 310, 3), dtype=np.uint8)
+    det = pred.predict_image(img)
+    assert det.boxes.shape[-1] == 4
+    n = int(np.sum(det.scores > 0))
+    assert n <= 10 * spec.class_num  # max_out caps survivors PER CLASS
+    assert np.isfinite(np.asarray(det.boxes[det.scores > 0])).all()
+
+
+def test_cfg2_tiny_yolo_voc_anchors_batch16_train(tmp_path):
+    """Config 2: tiny_yolo, VOC 20 classes, BATCH=16, the shipped kmeans
+    anchors (voc_anchor.npy values)."""
+    spec = _spec(anchors=np.asarray(VOC_ANCHORS))
+    cfg = TrainConfig(batch_size=16, init_learning_rate=1e-3)
+    net = build_network("tiny_yolo", spec.in_hw, spec.nanchors, spec.class_num)
+    state, ann, lines = _fit_short(net, spec, cfg, tmp_path, n_img=16)
+    assert int(state.step) == 6  # 2 epochs x 3 steps actually ran
+    # the per-layer progress-bar columns streamed (reference keras_train.py:73-79)
+    assert any("l1_loss" in ln and "l2_loss" in ln for ln in lines)
+    # eval leg
+    ev = T.make_eval_step(net, spec, cfg)
+    from k210_yolo_framework_tpu.training import metrics as M
+    pipe = PL.DataPipeline(ann, 16, seed=2, use_native=False,
+                           canvas_hw=(256, 256))
+    pp = PL.make_preprocess_fn(spec, is_training=False, canvas_hw=(256, 256))
+    hb = next(iter(pipe))
+    images, labels = pp(jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+                        jnp.asarray(hb.boxes), jnp.asarray(hb.valid),
+                        jax.random.PRNGKey(1))
+    _, logs = ev(state.params, state.batch_stats,
+                 M.init_pr_state(net.n_out_layers), images, labels)
+    assert np.isfinite(float(logs["val_loss"]))
+
+
+def test_cfg3_mobilev2_iaa_train_export(tmp_path):
+    """Config 3: yolo_mobilev2 DEPTHMUL=1.0 with the augmentation pipeline ON
+    (IAA=True analogue: the fused on-device OneOf augment), then export."""
+    spec = _spec()
+    cfg = TrainConfig(batch_size=8, augment=True)
+    net = build_network("yolo_mobilev2", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=1.0)
+    state, ann, _ = _fit_short(net, spec, cfg, tmp_path)
+    assert int(state.step) == 6
+    # export leg: StableHLO forward artifact replays
+    from jax import export as jexport
+
+    from k210_yolo_framework_tpu.export import export_stablehlo
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    blob = export_stablehlo(net, variables, batch=1)
+    restored = jexport.deserialize(bytearray(blob))
+    x = np.random.default_rng(0).uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    outs = restored.call(jnp.asarray(x))
+    want = net.apply_raw(variables, jnp.asarray(x))
+    for a, b in zip(outs, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_cfg4_full_yolo_ancnum5_train_serve(tmp_path):
+    """Config 4: full yolo, 3 output layers, ANCNUM=5 — the n-layer/m-anchor
+    generality stress.  One fused train step + Predictor serving."""
+    spec = _spec(layers=3, anchor_num=5)
+    cfg = TrainConfig(batch_size=2)
+    net = build_network("yolo", spec.in_hw, spec.nanchors, spec.class_num)
+    assert net.n_out_layers == 3
+
+    ann = PL.synthetic_ann_list(str(tmp_path), n=2, class_num=spec.class_num,
+                                seed=3)
+    pipe = PL.DataPipeline(ann, 2, seed=1, use_native=False,
+                           canvas_hw=(256, 256))
+    pp = PL.make_preprocess_fn(spec, is_training=True, canvas_hw=(256, 256))
+    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    step = T.make_fused_train_step(net, spec, cfg, train_epoch_step=2,
+                                   preprocess=pp)
+    hb = next(iter(pipe))
+    state, logs = step(state, jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+                       jnp.asarray(hb.boxes), jnp.asarray(hb.valid),
+                       jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))
+    for l in range(3):
+        assert f"l{l + 1}_loss" in logs
+
+    pred = Predictor(net, {"params": state.params,
+                           "batch_stats": state.batch_stats},
+                     spec, obj_thresh=0.1, max_out=10)
+    rng = np.random.default_rng(0)
+    det = pred.predict_image(rng.integers(0, 256, (120, 160, 3), dtype=np.uint8))
+    assert det.boxes.shape[-1] == 4
+
+
+def test_cfg5_mobilev1_prune_freeze_numerics(tmp_path):
+    """Config 5: PRUNE=True fine-tune -> frozen (masked) graph; the exported
+    artifact's numerics must match the live masked forward."""
+    spec = _spec(class_num=6)
+    cfg = TrainConfig(batch_size=8, is_prune=True,
+                      prune_initial_sparsity=0.3, prune_final_sparsity=0.6,
+                      prune_end_epoch=1, prune_frequency=1)
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.5)
+    state, ann, _ = _fit_short(net, spec, cfg, tmp_path)
+    sp = float(P.sparsity_of(state.params, state.masks))
+    assert sp > 0.2, f"pruning schedule never engaged: sparsity={sp}"
+
+    masked = P.apply_masks(state.params, state.masks)
+    variables = {"params": jax.device_get(masked),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+
+    from jax import export as jexport
+
+    from k210_yolo_framework_tpu.export import export_stablehlo
+    blob = export_stablehlo(net, variables, batch=1)
+    restored = jexport.deserialize(bytearray(blob))
+    x = np.random.default_rng(1).uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    outs = restored.call(jnp.asarray(x))
+    want = net.apply_raw(variables, jnp.asarray(x))
+    for a, b in zip(outs, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_second_builder_map_regression(tmp_path):
+    """Extends the synthetic overfit->mAP regression (test_end_to_end.py,
+    yolo_mobilev1) to a SECOND builder so quality tracking isn't
+    single-architecture.  tiny_yolo, same overfit->BN-recal->mAP flow."""
+    rng = np.random.default_rng(5)
+    n_img, classes = 6, 4
+    ann = PL.synthetic_ann_list(str(tmp_path), n=n_img, class_num=classes, seed=5)
+
+    anchors = np.array([[[0.7, 0.6], [0.5, 0.5], [0.4, 0.3]],
+                        [[0.3, 0.3], [0.2, 0.2], [0.15, 0.15]]], np.float32)
+    spec = YoloSpec.create((96, 96), ((3, 3), (6, 6)), classes, anchors)
+    cfg = TrainConfig(batch_size=n_img, obj_thresh=0.7, iou_thresh=0.5,
+                      init_learning_rate=2e-3)
+    net = build_network("tiny_yolo", spec.in_hw, spec.nanchors, spec.class_num)
+    pipe = PL.DataPipeline(ann, n_img, seed=1, use_native=False,
+                           canvas_hw=(512, 512))
+    pp = PL.make_preprocess_fn(spec, is_training=False)
+
+    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    step = T.make_train_step(net, spec, cfg, train_epoch_step=1)
+    hb = next(iter(pipe))
+    images, labels = pp(jnp.asarray(hb.canvases), jnp.asarray(hb.img_hws),
+                        jnp.asarray(hb.boxes), jnp.asarray(hb.valid),
+                        jax.random.PRNGKey(0))
+    first = None
+    for i in range(150):
+        state, logs = step(state, images, labels)
+        if i == 0:
+            first = float(logs["loss"])
+    last = float(logs["loss"])
+    assert last < first * 0.2, f"did not overfit: {first} -> {last}"
+
+    new_bs = T.recalibrate_batch_stats(net, state.params,
+                                       jax.device_get(state.batch_stats),
+                                       iter(pipe), pp, jax.random.PRNGKey(3),
+                                       num_batches=4)
+    pred = Predictor(net, {"params": state.params, "batch_stats": new_bs},
+                     spec, obj_thresh=0.1, iou_thresh=0.45, max_out=20)
+    res = evaluate_map(pred, ann, classes, batch_size=n_img)
+    # round-3 measurement recorded in BASELINE.md's mAP table
+    assert res["map"] > 0.8, f"tiny_yolo mAP after overfit+recalibrate = {res['map']}"
