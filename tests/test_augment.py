@@ -117,6 +117,28 @@ def test_shear_passes_match_gather_oracle():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
 
+def test_radix_shear_matches_direct():
+    """Above the radix threshold the shear splits into coarse-shift + fine
+    shear; the split must be numerically IDENTICAL to the direct weighted
+    sum (the fractional taps are untouched — only zero-weight slice terms
+    are removed).  Big offsets exercise both coarse directions."""
+    img = _img(64, 96)
+    h, w = 64, 96
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0
+    offs = 0.83 * ys  # reaches +-26: well past the 2*R=16 threshold
+    got = A._shear_x(img, offs, bound=28)
+    want = A._shear_x_direct(img, offs, bound=28)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-3)  # bf16-safe exactness
+
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - w / 2.0
+    offs = -0.61 * xs  # +-29
+    got = A._shear_y(img, offs, bound=31)
+    want = A._shear_y_direct(img, offs, bound=31)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-3)
+
+
 def test_translate_bilinear_matches_gather_oracle():
     img = _img(32, 48)
     tx, ty = jnp.float32(2.7), jnp.float32(-1.3)

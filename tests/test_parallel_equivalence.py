@@ -130,7 +130,14 @@ def _rel_l1(a, b):
 
 @pytest.mark.parametrize(
     "dp,mp,sp,prune",
-    [(8, 1, 1, False), (4, 2, 1, False), (4, 2, 1, True),
+    # fast shard keeps one variant per sharding MECHANISM (TP, SP, all-3);
+    # pure-DP and the pruning overlay move to the slow shard — dp8 is the
+    # trivial case of dp4sp2/dp2tp2sp2's data axis, and pruning's mask
+    # semantics are pinned separately in test_train.py (suite wall time,
+    # round-2 review item 7)
+    [pytest.param(8, 1, 1, False, marks=pytest.mark.slow),
+     (4, 2, 1, False),
+     pytest.param(4, 2, 1, True, marks=pytest.mark.slow),
      (4, 1, 2, False), (2, 2, 2, False)],
     ids=["dp8", "dp4tp2", "dp4tp2-prune", "dp4sp2", "dp2tp2sp2"])
 def test_sharded_step_matches_single_device(dp, mp, sp, prune):
