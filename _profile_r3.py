@@ -34,7 +34,7 @@ for _ in range(3):  # warmup + compile
     state, logs = step(state, canv, hws, boxes, valid, sk)
 jax.block_until_ready(logs["loss"])
 
-jax.profiler.start_trace("/tmp/trace_r3")
+jax.profiler.start_trace("/tmp/trace_r3b")
 for _ in range(4):
     key, sk = jax.random.split(key)
     state, logs = step(state, canv, hws, boxes, valid, sk)

@@ -238,3 +238,4 @@ def test_second_builder_map_regression(tmp_path):
     res = evaluate_map(pred, ann, classes, batch_size=n_img)
     # round-3 measurement recorded in BASELINE.md's mAP table
     assert res["map"] > 0.8, f"tiny_yolo mAP after overfit+recalibrate = {res['map']}"
+    print(f"\n[mAP] tiny_yolo synthetic overfit = {res['map']:.4f}")

@@ -73,3 +73,17 @@ def test_overfit_recalibrate_map(tmp_path):
     # pinned regression floor — measured 0.91 in round 1; the floor leaves
     # seed/backend headroom but catches any real quality regression
     assert res["map"] > 0.8, f"mAP after overfit+recalibrate = {res['map']}"
+
+    # quantized-serving mAP deltas on the same checkpoint (the KPU uint8
+    # analogue question: what does int8 cost in accuracy?) — recorded per
+    # round in BASELINE.md's mAP table
+    deltas = {}
+    for mode in ("int8", "int8_act"):
+        qpred = Predictor(net, variables, spec, obj_thresh=0.1,
+                          iou_thresh=0.45, max_out=20, quantize=mode)
+        qres = evaluate_map(qpred, ann, classes, batch_size=n_img)
+        deltas[mode] = qres["map"] - res["map"]
+        assert qres["map"] > 0.75, \
+            f"{mode} serving collapsed mAP: {res['map']} -> {qres['map']}"
+    print(f"\n[mAP] fp32={res['map']:.4f} "
+          + " ".join(f"{m}_delta={d:+.4f}" for m, d in deltas.items()))
