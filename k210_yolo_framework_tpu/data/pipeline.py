@@ -82,18 +82,20 @@ def make_preprocess_fn(spec: YoloSpec, is_training: bool, canvas_hw=CANVAS_HW,
     """
     dtype = dtype or jnp.float32
 
-    def one(canvas, img_hw, boxes, valid, key):
+    def letterbox_one(canvas, img_hw, boxes):
         img = LB.letterbox_image(canvas, img_hw, spec.in_hw, dtype=dtype)
-        boxes = LB.letterbox_boxes(boxes, img_hw, spec.in_hw)
-        if is_training:
-            img, boxes, valid = A.augment_image_and_boxes(key, img, boxes, valid)
-        img = LB.normalize_image(img)
-        labels = C.encode_labels(boxes, valid, spec)
-        return img, tuple(labels)
+        return img, LB.letterbox_boxes(boxes, img_hw, spec.in_hw)
+
+    def encode_one(img, boxes, valid):
+        return LB.normalize_image(img), tuple(C.encode_labels(boxes, valid, spec))
 
     def batched(canvases, img_hws, boxes, valid, key):
-        keys = jax.random.split(key, canvases.shape[0])
-        return jax.vmap(one)(canvases, img_hws, boxes, valid, keys)
+        imgs, boxes = jax.vmap(letterbox_one)(canvases, img_hws, boxes)
+        if is_training:
+            # batch-level: the stratified OneOf splits the batch into
+            # static per-branch slices (see augment_batch docstring)
+            imgs, boxes, valid = A.augment_batch(key, imgs, boxes, valid)
+        return jax.vmap(encode_one)(imgs, boxes, valid)
 
     return jax.jit(batched)
 

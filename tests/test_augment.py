@@ -206,3 +206,85 @@ def test_branch_distribution_covers_all_three():
         else:
             kinds.add("affine")
     assert {"identity", "flip", "affine"} <= kinds
+
+
+def test_augment_batch_iid_matches_per_image_vmap():
+    """mode='iid' is exactly the reference OneOf semantics: per-image keys
+    through augment_image_and_boxes (utils.py:84-88)."""
+    b, h, w = 4, 32, 32
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.3, 0.6, (b, 2, 5)).astype(np.float32))
+    valid = jnp.ones((b, 2), bool)
+    key = jax.random.PRNGKey(7)
+    got = A.augment_batch(key, imgs, boxes, valid, mode="iid")
+    keys = jax.random.split(key, b)
+    want = jax.vmap(A.augment_image_and_boxes)(keys, imgs, boxes, valid)
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
+
+
+def test_augment_batch_small_batch_falls_back_to_iid():
+    """B<3 cannot be stratified into three slices."""
+    b = 2
+    imgs = jnp.zeros((b, 16, 16, 3), jnp.float32)
+    boxes = jnp.full((b, 1, 5), 0.5, jnp.float32)
+    valid = jnp.ones((b, 1), bool)
+    key = jax.random.PRNGKey(0)
+    got = A.augment_batch(key, imgs, boxes, valid, mode="stratified")
+    want = A.augment_batch(key, imgs, boxes, valid, mode="iid")
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
+
+
+def test_augment_batch_stratified_keeps_image_box_alignment():
+    """Stratified mode permutes the batch; images, boxes and valid must ride
+    the SAME permutation.  Each input image is a constant plane whose value
+    encodes its index, and its single box carries the index as class id —
+    after augmentation the center-pixel value must still identify the same
+    source as the class id, for every output slot, under every branch
+    (flip/rotate/translate all fix a constant image's interior)."""
+    b, h, w = 9, 32, 32
+    imgs = jnp.stack([jnp.full((h, w, 3), i * 10.0, jnp.float32)
+                      for i in range(b)])
+    boxes = np.zeros((b, 1, 5), np.float32)
+    for i in range(b):
+        boxes[i, 0] = [i, 0.5, 0.5, 0.25, 0.25]   # (class, x, y, w, h)
+    valid = jnp.ones((b, 1), bool)
+
+    for seed in range(4):
+        out_i, out_b, out_v = A.augment_batch(
+            jax.random.PRNGKey(seed), imgs, jnp.asarray(boxes), valid)
+        assert out_i.shape == imgs.shape
+        assert bool(np.asarray(out_v).all())       # centered box survives all branches
+        cls = np.asarray(out_b)[:, 0, 0]
+        center = np.asarray(out_i)[:, h // 2, w // 2, 0]
+        np.testing.assert_allclose(center, cls * 10.0, atol=1.0)
+        # outputs are a permutation of the inputs, nothing lost or duplicated
+        assert sorted(cls.tolist()) == list(range(b))
+
+
+def test_augment_batch_stratified_slices_apply_distinct_branches():
+    """The three static slices really run different branches: translate by
+    a nonzero offset moves a gradient image, rotation tilts it, and the
+    flip slice either mirrors or passes through."""
+    b, h, w = 6, 32, 32
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    grad = np.stack([xx] * 3, -1)
+    imgs = jnp.asarray(np.stack([grad] * b))
+    boxes = jnp.full((b, 1, 5), 0.5, jnp.float32)
+    valid = jnp.ones((b, 1), bool)
+    out, _, _ = A.augment_batch(jax.random.PRNGKey(3), imgs, boxes, valid)
+    out = np.asarray(out)
+    kinds = set()
+    for i in range(b):
+        d = out[i] - grad
+        if np.allclose(d, 0, atol=1e-2):
+            kinds.add("identity")
+        elif np.allclose(out[i], grad[:, ::-1], atol=1e-2):
+            kinds.add("flip")
+        else:
+            kinds.add("affine")
+    # slices are flip(2)/rot(2)/tr(2): at least one affine output must exist
+    assert "affine" in kinds
