@@ -11,6 +11,7 @@ anchors, matching make_anchor_list.py:211-213.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, List, Sequence
 
 import jax
@@ -169,9 +170,17 @@ class YoloNet:
     in_hw: Sequence[int]
     n_out_layers: int = 2  # 3 for the full darknet53 'yolo' builder
 
+    @functools.cached_property
+    def _jit_init(self):
+        # jitted (vs flax's eager init) so XLA compiles the init graph once
+        # — and the persistent compile cache carries it across processes;
+        # eager init of the larger backbones costs many seconds per call on
+        # a 1-core XLA:CPU host and is re-paid on every run
+        return jax.jit(lambda rng, x: self.module.init(rng, x, train=False))
+
     def init(self, rng: jax.Array, batch: int = 1) -> FrozenDict:
         x = jnp.zeros((batch, self.in_hw[0], self.in_hw[1], 3), jnp.float32)
-        return self.module.init(rng, x, train=False)
+        return self._jit_init(rng, x)
 
     def apply_raw(self, variables, x, train: bool = False, **kw):
         return self.module.apply(variables, x, train=train, **kw)

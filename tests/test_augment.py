@@ -7,6 +7,15 @@ import jax.numpy as jnp
 
 from k210_yolo_framework_tpu.ops import augment as A
 
+# jitted entry points: eager tracing of the slice-built shears costs seconds
+# per call on 1-core XLA:CPU; compiled forms ride the persistent cache
+_aug_one = jax.jit(A.augment_image_and_boxes)
+_aug_batch = jax.jit(A.augment_batch, static_argnames="mode")
+_shear_x = jax.jit(A._shear_x, static_argnames="bound")
+_shear_y = jax.jit(A._shear_y, static_argnames="bound")
+_shear_x_direct = jax.jit(A._shear_x_direct, static_argnames="bound")
+_shear_y_direct = jax.jit(A._shear_y_direct, static_argnames="bound")
+
 
 def _img(h=32, w=48):
     rng = np.random.default_rng(0)
@@ -72,7 +81,7 @@ def test_rotation_preserves_center_box_validity():
     key = jax.random.PRNGKey(1)
     for i in range(8):
         k = jax.random.fold_in(key, i)
-        oi, ob, ov = A.augment_image_and_boxes(k, img, boxes, jnp.asarray([True]))
+        oi, ob, ov = _aug_one(k, img, boxes, jnp.asarray([True]))
         assert oi.shape == img.shape
         assert bool(ov[0])  # center box survives +-10deg / +-10% / flip
         # rotation can only grow an axis-aligned box slightly (<= ~1.35x @10deg)
@@ -103,7 +112,7 @@ def test_shear_passes_match_gather_oracle():
     h, w = 32, 48
     a = 0.061  # some non-integer shear slope
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0
-    got = A._shear_x(img, a * ys, bound=4)
+    got = _shear_x(img, a * ys, bound=4)
     # forward shear x' = x + a*(y - cy) in continuous coords
     fwd = jnp.asarray([[1.0, a, -a * h / 2.0], [0, 1, 0], [0, 0, 1]])
     want = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
@@ -111,7 +120,7 @@ def test_shear_passes_match_gather_oracle():
 
     b = -0.113
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - w / 2.0
-    got = A._shear_y(img, b * xs, bound=4)
+    got = _shear_y(img, b * xs, bound=4)
     fwd = jnp.asarray([[1.0, 0, 0], [b, 1, -b * w / 2.0], [0, 0, 1]])
     want = A._inverse_affine_sample(img, jnp.linalg.inv(fwd))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
@@ -126,15 +135,15 @@ def test_radix_shear_matches_direct():
     h, w = 64, 96
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0
     offs = 0.83 * ys  # reaches +-26: well past the 2*R=16 threshold
-    got = A._shear_x(img, offs, bound=28)
-    want = A._shear_x_direct(img, offs, bound=28)
+    got = _shear_x(img, offs, bound=28)
+    want = _shear_x_direct(img, offs, bound=28)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=2e-3)  # bf16-safe exactness
 
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - w / 2.0
     offs = -0.61 * xs  # +-29
-    got = A._shear_y(img, offs, bound=31)
-    want = A._shear_y_direct(img, offs, bound=31)
+    got = _shear_y(img, offs, bound=31)
+    want = _shear_y_direct(img, offs, bound=31)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=2e-3)
 
@@ -197,7 +206,7 @@ def test_branch_distribution_covers_all_three():
     base = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (16, 16, 3)).astype(np.float32))
     for i in range(30):
         k = jax.random.PRNGKey(i)
-        out, _, _ = A.augment_image_and_boxes(k, base, boxes, valid)
+        out, _, _ = _aug_one(k, base, boxes, valid)
         d = np.asarray(out) - np.asarray(base)
         if np.allclose(d, 0, atol=1e-3):
             kinds.add("identity")      # flip branch, coin said no
@@ -217,9 +226,9 @@ def test_augment_batch_iid_matches_per_image_vmap():
     boxes = jnp.asarray(rng.uniform(0.3, 0.6, (b, 2, 5)).astype(np.float32))
     valid = jnp.ones((b, 2), bool)
     key = jax.random.PRNGKey(7)
-    got = A.augment_batch(key, imgs, boxes, valid, mode="iid")
+    got = _aug_batch(key, imgs, boxes, valid, mode="iid")
     keys = jax.random.split(key, b)
-    want = jax.vmap(A.augment_image_and_boxes)(keys, imgs, boxes, valid)
+    want = jax.jit(jax.vmap(A.augment_image_and_boxes))(keys, imgs, boxes, valid)
     for g, wv in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
 
@@ -231,8 +240,8 @@ def test_augment_batch_small_batch_falls_back_to_iid():
     boxes = jnp.full((b, 1, 5), 0.5, jnp.float32)
     valid = jnp.ones((b, 1), bool)
     key = jax.random.PRNGKey(0)
-    got = A.augment_batch(key, imgs, boxes, valid, mode="stratified")
-    want = A.augment_batch(key, imgs, boxes, valid, mode="iid")
+    got = _aug_batch(key, imgs, boxes, valid, mode="stratified")
+    want = _aug_batch(key, imgs, boxes, valid, mode="iid")
     for g, wv in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
 
@@ -253,7 +262,7 @@ def test_augment_batch_stratified_keeps_image_box_alignment():
     valid = jnp.ones((b, 1), bool)
 
     for seed in range(4):
-        out_i, out_b, out_v = A.augment_batch(
+        out_i, out_b, out_v = _aug_batch(
             jax.random.PRNGKey(seed), imgs, jnp.asarray(boxes), valid)
         assert out_i.shape == imgs.shape
         assert bool(np.asarray(out_v).all())       # centered box survives all branches
@@ -275,7 +284,7 @@ def test_augment_batch_stratified_slices_apply_distinct_branches():
     imgs = jnp.asarray(np.stack([grad] * b))
     boxes = jnp.full((b, 1, 5), 0.5, jnp.float32)
     valid = jnp.ones((b, 1), bool)
-    out, _, _ = A.augment_batch(jax.random.PRNGKey(3), imgs, boxes, valid)
+    out, _, _ = _aug_batch(jax.random.PRNGKey(3), imgs, boxes, valid)
     out = np.asarray(out)
     kinds = set()
     for i in range(b):

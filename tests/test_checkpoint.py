@@ -5,17 +5,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from k210_yolo_framework_tpu.config import TrainConfig, voc_spec
-from k210_yolo_framework_tpu.models import build_network
+from k210_yolo_framework_tpu.config import voc_spec
 from k210_yolo_framework_tpu.training import checkpoint as CK
-from k210_yolo_framework_tpu.training import train as T
+
+import shared
 
 SPEC = voc_spec()
 
 
 def _state():
-    net = build_network("yolo_mobilev1", SPEC.in_hw, 3, 20, alpha=0.5)
-    return net, T.create_train_state(net, TrainConfig(), jax.random.PRNGKey(0))
+    # cached per-process; the state is an immutable pytree — read-only use
+    return shared.net_and_train_state("yolo_mobilev1", SPEC.in_hw, 3, 20,
+                                      alpha=0.5)
 
 
 def test_h5_roundtrip(tmp_path):
@@ -37,8 +38,8 @@ def test_h5_shape_mismatch_raises(tmp_path):
                  "batch_stats": jax.device_get(state.batch_stats)}
     p = str(tmp_path / "m.h5")
     CK.save_h5(p, variables)
-    other = build_network("yolo_mobilev1", SPEC.in_hw, 3, 20, alpha=1.0)
-    st2 = T.create_train_state(other, TrainConfig(), jax.random.PRNGKey(0))
+    other, st2 = shared.net_and_train_state("yolo_mobilev1", SPEC.in_hw, 3, 20,
+                                            alpha=1.0)
     tmpl = {"params": jax.device_get(st2.params),
             "batch_stats": jax.device_get(st2.batch_stats)}
     import pytest

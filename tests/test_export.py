@@ -13,6 +13,8 @@ from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.ops import codec as C
 from k210_yolo_framework_tpu.training import train as T
 
+import shared
+
 
 def _tiny_spec(layers=2, classes=4):
     rng = np.random.default_rng(0)
@@ -23,9 +25,9 @@ def _tiny_spec(layers=2, classes=4):
 
 def test_stablehlo_roundtrip_executes():
     spec = _tiny_spec()
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.5)
-    variables = net.init(jax.random.PRNGKey(0))
+    net, variables = shared.net_and_vars("yolo_mobilev1", spec.in_hw,
+                                         spec.nanchors, spec.class_num,
+                                         alpha=0.5)
     blob = export_stablehlo(net, variables, batch=2)
     assert len(blob) > 1000
 
@@ -44,9 +46,9 @@ def test_serving_stablehlo_roundtrip():
     from k210_yolo_framework_tpu.inference import Predictor
 
     spec = _tiny_spec()
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.5)
-    variables = net.init(jax.random.PRNGKey(0))
+    net, variables = shared.net_and_vars("yolo_mobilev1", spec.in_hw,
+                                         spec.nanchors, spec.class_num,
+                                         alpha=0.5)
     pred = Predictor(net, variables, spec, obj_thresh=0.05,
                      compute_dtype=jnp.float32)
     blob = export_serving_stablehlo(pred, batch=2)
@@ -87,9 +89,9 @@ def test_exported_artifact_matches_live_pallas_serving():
     from k210_yolo_framework_tpu.inference import Predictor
 
     spec = _tiny_spec()
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.5)
-    variables = net.init(jax.random.PRNGKey(0))
+    net, variables = shared.net_and_vars("yolo_mobilev1", spec.in_hw,
+                                         spec.nanchors, spec.class_num,
+                                         alpha=0.5)
     pred = Predictor(net, variables, spec, obj_thresh=0.05, iou_thresh=0.45,
                      max_out=30, compute_dtype=jnp.float32)
     blob = export_serving_stablehlo(pred, batch=2)
@@ -123,9 +125,9 @@ def test_serving_stablehlo_int8_keeps_quantized_weights():
     from k210_yolo_framework_tpu.quantize import dequantize_tree
 
     spec = _tiny_spec()
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.5)
-    variables = net.init(jax.random.PRNGKey(0))
+    net, variables = shared.net_and_vars("yolo_mobilev1", spec.in_hw,
+                                         spec.nanchors, spec.class_num,
+                                         alpha=0.5)
     fp = Predictor(net, variables, spec, obj_thresh=0.05,
                    compute_dtype=jnp.float32)
     q = Predictor(net, variables, spec, obj_thresh=0.05,

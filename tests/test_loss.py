@@ -10,10 +10,25 @@ from k210_yolo_framework_tpu.config import voc_spec
 from k210_yolo_framework_tpu.ops import codec as C
 from k210_yolo_framework_tpu.training import loss as L
 
+import functools
+
 import golden
 
 SPEC = voc_spec()
 HP = dict(obj_thresh=0.7, iou_thresh=0.3, obj_weight=5.0, noobj_weight=0.5, wh_weight=0.5)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_layer_loss(l, batch):
+    """Jitted per (layer, batch): eager-mode ignore-mask IoU over the full
+    VOC grids costs seconds per call on 1-core XLA:CPU; the compiled form
+    rides the persistent cache across runs."""
+    return jax.jit(lambda t, p: L.yolo_layer_loss(t, p, l, SPEC, batch, **HP))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_total_loss(batch):
+    return jax.jit(lambda ts, ps: L.yolo_loss(ts, ps, SPEC, batch, **HP))
 
 
 def make_batch(rng, batch, boxes_per_img):
@@ -42,18 +57,19 @@ def test_layer_loss_matches_golden(boxes_per_img):
     for l in range(SPEC.nlayers):
         want = golden.yolo_loss(y_trues[l], y_preds[l], SPEC.out_hws[l],
                                 SPEC.anchors_np()[l], batch, **HP)
-        got = L.yolo_layer_loss(jnp.asarray(y_trues[l]), jnp.asarray(y_preds[l]),
-                                l, SPEC, batch, **HP)
+        got = _jit_layer_loss(l, batch)(jnp.asarray(y_trues[l]),
+                                        jnp.asarray(y_preds[l]))
         np.testing.assert_allclose(float(got), want, rtol=2e-4)
 
 
 def test_total_loss_is_sum_of_layers():
     rng = np.random.default_rng(3)
     y_trues, y_preds = make_batch(rng, 2, [2, 3])
-    total = L.yolo_loss([jnp.asarray(y) for y in y_trues],
-                        [jnp.asarray(y) for y in y_preds], SPEC, 2, **HP)
-    parts = sum(L.yolo_layer_loss(jnp.asarray(y_trues[l]), jnp.asarray(y_preds[l]),
-                                  l, SPEC, 2, **HP) for l in range(SPEC.nlayers))
+    total = _jit_total_loss(2)([jnp.asarray(y) for y in y_trues],
+                               [jnp.asarray(y) for y in y_preds])
+    parts = sum(_jit_layer_loss(l, 2)(jnp.asarray(y_trues[l]),
+                                      jnp.asarray(y_preds[l]))
+                for l in range(SPEC.nlayers))
     np.testing.assert_allclose(float(total), float(parts), rtol=1e-6)
 
 
@@ -64,7 +80,7 @@ def test_loss_is_differentiable_and_finite():
     def f(preds):
         return L.yolo_loss([jnp.asarray(t) for t in y_trues], preds, SPEC, 2, **HP)
 
-    g = jax.grad(f)([jnp.asarray(p) for p in y_preds])
+    g = jax.jit(jax.grad(f))([jnp.asarray(p) for p in y_preds])
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
 

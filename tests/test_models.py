@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from k210_yolo_framework_tpu.models import build_network
 
+import shared
+
 IN_HW = (224, 320)
 
 
@@ -36,22 +38,23 @@ def test_two_scale_shapes(name, nlayers):
 
 
 def test_full_yolo_three_scales():
-    # small spatial size keeps the CPU test fast; strides 32/16/8 unchanged
+    # shape-only -> eval_shape (no darknet53 compile; its numerics run in
+    # the config-matrix slow tests); strides 32/16/8 unchanged
     net = build_network("yolo", (96, 96), anchor_num=3, class_num=20)
-    variables = net.init(jax.random.PRNGKey(0))
-    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
-    raw = net.apply_raw(variables, x)
+    variables = jax.eval_shape(net.init, jax.random.PRNGKey(0))
+    x = jax.ShapeDtypeStruct((1, 96, 96, 3), jnp.float32)
+    raw = jax.eval_shape(net.apply_raw, variables, x)
     assert [o.shape for o in raw] == [(1, 3, 3, 75), (1, 6, 6, 75), (1, 12, 12, 75)]
 
 
 def test_custom_anchor_num():
     """ANCNUM=5 stresses n-layer/m-anchor generality (BASELINE.json configs)."""
     net = build_network("yolo", (96, 96), anchor_num=5, class_num=20)
-    variables = net.init(jax.random.PRNGKey(0))
-    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
-    raw = net.apply_raw(variables, x)
+    variables = jax.eval_shape(net.init, jax.random.PRNGKey(0))
+    x = jax.ShapeDtypeStruct((1, 96, 96, 3), jnp.float32)
+    raw = jax.eval_shape(net.apply_raw, variables, x)
     assert raw[0].shape == (1, 3, 3, 5 * 25)
-    wrapped = net.apply(variables, x)
+    wrapped = jax.eval_shape(net.apply, variables, x)
     assert wrapped[2].shape == (1, 12, 12, 5, 25)
 
 
@@ -96,10 +99,10 @@ def test_head_width_rules():
 
 
 def test_train_mode_updates_batch_stats():
-    net = build_network("tiny_yolo", IN_HW, 3, 20)
-    variables = net.init(jax.random.PRNGKey(0))
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, *IN_HW, 3))
-    outs, updates = net.apply(variables, x, train=True)
+    # small spatial size: BN update semantics don't depend on image size
+    net, variables = shared.net_and_vars("tiny_yolo", (96, 96), 3, 20)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    outs, updates = jax.jit(lambda v, x: net.apply(v, x, train=True))(variables, x)
     assert "batch_stats" in updates
     old = jax.tree.leaves(variables["batch_stats"])
     new = jax.tree.leaves(updates["batch_stats"])

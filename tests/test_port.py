@@ -6,7 +6,6 @@ import pytest
 
 import jax
 
-from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.port import (
     mobilev1_layer_map,
     mobilev2_layer_map,
@@ -15,11 +14,18 @@ from k210_yolo_framework_tpu.port import (
     yolo_layer_map,
 )
 
+import shared
+
 
 def _template(alpha=0.75, model="yolo_mobilev1", in_hw=(224, 320)):
-    net = build_network(model, in_hw, 3, 20, alpha=alpha)
-    v = net.init(jax.random.PRNGKey(0))
+    net, v = shared.net_and_vars(model, in_hw, 3, 20, alpha=alpha)
     return net, {"params": v["params"], "batch_stats": v["batch_stats"]}
+
+
+def _apply(net, out, x):
+    # jitted one-shot forward: rides the persistent compile cache
+    return jax.jit(lambda v, x: net.apply(v, x, train=False))(
+        {"params": out["params"], "batch_stats": out["batch_stats"]}, x)
 
 
 def _leaf(tree, path):
@@ -64,8 +70,7 @@ def test_port_full_model(tmp_path):
         assert np.all(got == want), (coll, leafpath)
     # ported variables must run through the model
     import jax.numpy as jnp
-    outs = net.apply({"params": out["params"], "batch_stats": out["batch_stats"]},
-                     jnp.zeros((1, 224, 320, 3)), train=False)
+    outs = _apply(net, out, jnp.zeros((1, 224, 320, 3)))
     assert outs[0].shape == (1, 7, 10, 3, 25)
 
 
@@ -99,8 +104,7 @@ def test_port_mobilev2_full_model(tmp_path):
     for (coll, leafpath), want in const.items():
         assert np.all(_leaf(out[coll], leafpath) == want), (coll, leafpath)
     import jax.numpy as jnp
-    outs = net.apply({"params": out["params"], "batch_stats": out["batch_stats"]},
-                     jnp.zeros((1, 96, 128, 3)), train=False)
+    outs = _apply(net, out, jnp.zeros((1, 96, 128, 3)))
     assert outs[0].shape == (1, 3, 4, 3, 25)
 
 
@@ -147,8 +151,7 @@ def test_port_tiny_yolo_coco_head_slice(tmp_path):
         got = _leaf(out[coll], leafpath)
         np.testing.assert_array_equal(got, donor[..., :got.shape[-1]], err_msg=leafpath)
     import jax.numpy as jnp
-    outs = net.apply({"params": out["params"], "batch_stats": out["batch_stats"]},
-                     jnp.zeros((1, 96, 128, 3)), train=False)
+    outs = _apply(net, out, jnp.zeros((1, 96, 128, 3)))
     assert outs[0].shape == (1, 3, 4, 3, 25)
 
 

@@ -7,17 +7,18 @@ import jax.numpy as jnp
 
 from k210_yolo_framework_tpu.config import YoloSpec
 from k210_yolo_framework_tpu.inference import Predictor
-from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.parallel import make_mesh
+
+import shared
 
 
 def test_sharded_runner_matches_local():
     anchors = np.array([[[0.7, 0.6], [0.5, 0.5], [0.4, 0.3]],
                         [[0.3, 0.3], [0.2, 0.2], [0.15, 0.15]]], np.float32)
     spec = YoloSpec.create((96, 96), ((3, 3), (6, 6)), 5, anchors)
-    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
-                        spec.class_num, alpha=0.5)
-    variables = net.init(jax.random.PRNGKey(0))
+    net, variables = shared.net_and_vars("yolo_mobilev1", spec.in_hw,
+                                         spec.nanchors, spec.class_num,
+                                         alpha=0.5)
     pred = Predictor(net, variables, spec, obj_thresh=0.05, iou_thresh=0.45)
 
     rng = np.random.default_rng(0)

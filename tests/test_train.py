@@ -7,11 +7,12 @@ import jax
 import jax.numpy as jnp
 
 from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
-from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.ops import codec as C
 from k210_yolo_framework_tpu.parallel import make_mesh, batch_sharding
 from k210_yolo_framework_tpu.training import pruning as P
 from k210_yolo_framework_tpu.training import train as T
+
+import shared
 
 # small spec (96x96 -> 3x3/6x6 grids, 6 classes): full VOC-sized tiny_yolo
 # on the CPU test mesh costs minutes of XLA compile for no extra coverage
@@ -21,8 +22,11 @@ SPEC = YoloSpec.create(
               [[0.3, 0.3], [0.2, 0.2], [0.1, 0.1]]]))
 
 
-def _net():
-    return build_network("tiny_yolo", SPEC.in_hw, SPEC.nanchors, SPEC.class_num)
+def _net_state(cfg):
+    # per-process cache keyed on the (frozen, hashable) TrainConfig; the
+    # initial TrainState is an immutable pytree -> safe to share across tests
+    return shared.net_and_train_state("tiny_yolo", SPEC.in_hw, SPEC.nanchors,
+                                      SPEC.class_num, cfg=cfg)
 
 
 def _batch(rng, batch=4):
@@ -38,8 +42,7 @@ def _batch(rng, batch=4):
 
 def test_train_step_decreases_loss():
     cfg = TrainConfig(batch_size=4, init_learning_rate=1e-3)
-    net = _net()
-    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    net, state = _net_state(cfg)
     step = T.make_train_step(net, SPEC, cfg, train_epoch_step=10)
     rng = np.random.default_rng(0)
     images, labels = _batch(rng)
@@ -57,8 +60,7 @@ def test_train_step_per_layer_telemetry():
     (keras_train.py:73-79): per-layer keys must exist and the layer losses
     must sum to the total."""
     cfg = TrainConfig(batch_size=4)
-    net = _net()
-    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    net, state = _net_state(cfg)
     step = T.make_train_step(net, SPEC, cfg, train_epoch_step=10)
     rng = np.random.default_rng(5)
     images, labels = _batch(rng)
@@ -83,8 +85,7 @@ def test_keras_adam_decay_schedule():
 
 def test_eval_step_runs_and_accumulates():
     cfg = TrainConfig(batch_size=4)
-    net = _net()
-    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    net, state = _net_state(cfg)
     ev = T.make_eval_step(net, SPEC, cfg)
     rng = np.random.default_rng(1)
     images, labels = _batch(rng)
@@ -127,8 +128,7 @@ def test_pruning_schedule_and_masks():
 def test_pruned_training_reaches_target_sparsity():
     cfg = TrainConfig(batch_size=4, is_prune=True, prune_initial_sparsity=0.3,
                       prune_final_sparsity=0.8, prune_end_epoch=1, prune_frequency=2)
-    net = _net()
-    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    net, state = _net_state(cfg)
     step = T.make_train_step(net, SPEC, cfg, train_epoch_step=6)  # end_step=6
     rng = np.random.default_rng(2)
     images, labels = _batch(rng)
@@ -147,8 +147,7 @@ def test_train_step_on_8dev_mesh():
     assert jax.device_count() == 8
     mesh = make_mesh(dp=4, mp=2)
     cfg = TrainConfig(batch_size=8)
-    net = _net()
-    state = T.create_train_state(net, cfg, jax.random.PRNGKey(0))
+    net, state = _net_state(cfg)
     state = T.shard_state(state, mesh)
     step = T.make_train_step(net, SPEC, cfg, train_epoch_step=10)
     rng = np.random.default_rng(3)

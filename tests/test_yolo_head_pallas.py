@@ -18,7 +18,9 @@ def _spec(classes=6):
 
 
 @pytest.mark.parametrize("class_softmax", [False, True])
-@pytest.mark.parametrize("seed", [0, 1])
+# seed 1 re-runs the same compiled programs on a second random tensor —
+# extra NMS-pattern coverage, but not worth the fast-shard interpreter time
+@pytest.mark.parametrize("seed", [0, pytest.param(1, marks=pytest.mark.slow)])
 def test_fused_matches_two_stage(seed, class_softmax):
     spec = _spec()
     rng = np.random.default_rng(seed)
