@@ -47,35 +47,44 @@ class Int8Act:
 
     The KPU analogue of uint8 end-to-end serving (reference README.md:152-154
     — nncase quantizes activations too).  Activations are quantized
-    dynamically per tensor (amax inside the program — no calibration pass),
-    weights per output channel; depthwise convs, the 3-channel stem and the
-    bias-carrying head 1x1 stay in ``out_dtype`` (they are VPU/precision
-    work, not MXU volume).  Thread it anywhere a builder accepts ``dtype``:
-    ``build_network(..., dtype=Int8Act())`` or
+    dynamically per tensor (min/max inside the program — no calibration
+    pass), weights per output channel; depthwise convs, the 3-channel stem
+    and the bias-carrying head 1x1 stay in ``out_dtype`` (they are
+    VPU/precision work, not MXU volume).  Thread it anywhere a builder
+    accepts ``dtype``: ``build_network(..., dtype=Int8Act())`` or
     ``Predictor(..., quantize="int8_act")``.
+
+    ``affine`` (default): activations quantize with a per-tensor zero point
+    — post-LeakyReLU tensors are skewed (negative tail is 0.1x the positive
+    range), so a symmetric scale wastes nearly half the int8 range; the
+    zero-point variant recovers it with one exact per-channel correction
+    term (see ``_Int8Conv``).  ``affine=False`` keeps the symmetric scheme
+    for comparison (measured table in PARITY.md).
     """
 
-    def __init__(self, out_dtype: Any = jnp.bfloat16):
+    def __init__(self, out_dtype: Any = jnp.bfloat16, affine: bool = True):
         self.out_dtype = out_dtype
+        self.affine = affine
 
     # modules hash their attributes for the jit cache key
     def __hash__(self):
-        return hash((Int8Act, jnp.dtype(self.out_dtype).name))
+        return hash((Int8Act, jnp.dtype(self.out_dtype).name, self.affine))
 
     def __eq__(self, other):
         return (isinstance(other, Int8Act)
-                and jnp.dtype(self.out_dtype) == jnp.dtype(other.out_dtype))
+                and jnp.dtype(self.out_dtype) == jnp.dtype(other.out_dtype)
+                and self.affine == other.affine)
 
     def __repr__(self):
-        return f"Int8Act({jnp.dtype(self.out_dtype).name})"
+        return f"Int8Act({jnp.dtype(self.out_dtype).name}, affine={self.affine})"
 
 
 def _split_dtype(dtype):
-    """(compute dtype for VPU/precision paths, int8_act?) from a ``dtype``
-    attribute that may be the :class:`Int8Act` sentinel."""
+    """(compute dtype for VPU/precision paths, Int8Act sentinel or None)
+    from a ``dtype`` attribute that may be the :class:`Int8Act` sentinel."""
     if isinstance(dtype, Int8Act):
-        return dtype.out_dtype, True
-    return dtype, False
+        return dtype.out_dtype, dtype
+    return dtype, None
 
 # Marker prefix for conv kernels carrying the reference's l2(5e-4)
 # regularizer (yolonet.py:247); training.loss.l2_penalty scans for it.
@@ -142,9 +151,20 @@ class _Int8Conv(nn.Module):
     Param name/shape/init match ``nn.Conv`` exactly (fp32 master kernel), so
     checkpoints are interchangeable with the bf16 path; quantization happens
     inside the program each call: dynamic per-tensor activation scale,
-    per-output-channel weight scale, symmetric round-to-nearest, int32
-    accumulation, fp32 rescale.  Scale math runs fp32 (bf16 spacing at +-127
-    is 0.5 — half a quantum of avoidable noise).
+    per-output-channel weight scale, round-to-nearest, int32 accumulation,
+    fp32 rescale.  Scale math runs fp32 (bf16 spacing at +-127 is 0.5 — half
+    a quantum of avoidable noise).
+
+    ``affine_act`` (default): per-tensor zero-point activation quantization
+    — ``x ≈ (q − zp)·sx`` with ``sx = (max−min)/254``.  Post-LeakyReLU
+    activations live in ``[−a/10, a]``, so the symmetric scheme spends
+    nearly half its codes on values that never occur; the affine scheme's
+    step is ~1.8× finer.  The zero point folds out of the int32 matmul
+    EXACTLY: ``Σ (q−zp)·kq = Σ q·kq − zp·Σ kq`` — one per-output-channel
+    correction vector — provided every tap reads a zp-offset value, which
+    SAME padding would violate (XLA pads q=0 ≡ real −zp·sx, not 0).  The
+    conv therefore pads explicitly with ``zp`` and runs VALID.  This is the
+    KPU's own scheme: nncase emits affine uint8 with zero-point padding.
     """
 
     features: int
@@ -152,6 +172,7 @@ class _Int8Conv(nn.Module):
     strides: Tuple[int, int]
     padding: Any
     out_dtype: Any = jnp.bfloat16
+    affine_act: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -159,15 +180,49 @@ class _Int8Conv(nn.Module):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (kh, kw, x.shape[-1], self.features))
         xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
-        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         kf = k.astype(jnp.float32)
         sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
         kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+
+        if not self.affine_act:
+            sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kq, tuple(self.strides), self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * (sx * sw)).astype(self.out_dtype)
+
+        # affine: zp chosen so min -> -127, max -> +127, and 0 is exactly
+        # representable (min<=0<=max is forced so ReLU-family zeros and the
+        # zp padding are exact)
+        xmin = jnp.minimum(jnp.min(xf), 0.0)
+        xmax = jnp.maximum(jnp.max(xf), 0.0)
+        sx = jnp.maximum(xmax - xmin, 1e-6) / 254.0
+        zp = jnp.clip(-127.0 - jnp.round(xmin / sx), -127.0, 127.0)
+        xq = jnp.clip(jnp.round(xf / sx) + zp, -127.0, 127.0).astype(jnp.int8)
+
+        if (kh, kw) != (1, 1) and self.padding == "SAME":
+            # explicit zp padding + VALID (dense SAME convs in this zoo are
+            # stride-1 head 3x3s; the general formula covers strides anyway)
+            pads = [(0, 0, 0)]
+            for dim, ksz, s in ((1, kh, self.strides[0]),
+                                (2, kw, self.strides[1])):
+                n = x.shape[dim]
+                total = max((-(-n // s) - 1) * s + ksz - n, 0)
+                pads.append((total // 2, total - total // 2, 0))
+            pads.append((0, 0, 0))
+            xq = jax.lax.pad(xq, zp.astype(jnp.int8), pads)
+            conv_pad = "VALID"
+        else:
+            conv_pad = self.padding
+
         y = jax.lax.conv_general_dilated(
-            xq, kq, tuple(self.strides), self.padding,
+            xq, kq, tuple(self.strides), conv_pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
+        k1 = jnp.sum(kq.astype(jnp.int32), axis=(0, 1, 2))      # [cout]
+        y = y - zp.astype(jnp.int32) * k1
         return (y.astype(jnp.float32) * (sx * sw)).astype(self.out_dtype)
 
 
@@ -332,6 +387,7 @@ class ConvBN(nn.Module):
                 strides=self.strides,
                 padding=pad,
                 out_dtype=dtype,
+                affine_act=int8_act.affine,
                 name="conv",
             )(x)
         else:

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 
 from k210_yolo_framework_tpu.config import YoloSpec
 from k210_yolo_framework_tpu.inference import Predictor
-from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.quantize import (
     QTensor,
     dequantize_tree,
@@ -20,6 +19,8 @@ from k210_yolo_framework_tpu.quantize import (
     is_quantized,
     quantize_tree,
 )
+
+import shared
 
 SPEC = YoloSpec.create(
     (64, 64), ((2, 2), (4, 4)), 4,
@@ -47,11 +48,16 @@ def test_quantize_roundtrip_error_bound():
                                   np.asarray(tree["b"]["bias"]))
 
 
+def _net_vars(seed=3):
+    net, variables = shared.net_and_vars(
+        "yolo_mobilev1", SPEC.in_hw, SPEC.nanchors, SPEC.class_num,
+        alpha=0.25, seed=seed)
+    return net, {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+
 def _predictors():
-    net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
-                        SPEC.class_num, alpha=0.25)
-    variables = net.init(jax.random.PRNGKey(3))
-    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    net, variables = _net_vars()
     # random-init logits are ~0 -> scores cluster near sigmoid^2 = 0.25;
     # threshold below that so the fp32 path produces detections
     kw = dict(obj_thresh=0.1, iou_thresh=0.3, max_out=10)
@@ -92,11 +98,7 @@ def test_int8_act_serving_matches_fp32_boxes():
     scales — models.layers.Int8Act) keeps detections close to fp32.
     Activation quantization adds more noise than weight-only int8, so the
     match criteria are looser but still bound the error."""
-    net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
-                        SPEC.class_num, alpha=0.25)
-    variables = net.init(jax.random.PRNGKey(3))
-    variables = {"params": variables["params"],
-                 "batch_stats": variables["batch_stats"]}
+    net, variables = _net_vars()
     kw = dict(obj_thresh=0.1, iou_thresh=0.3, max_out=10)
     fp32 = Predictor(net, variables, SPEC, **kw)
     i8a = Predictor(net, variables, SPEC, quantize="int8_act", **kw)
@@ -123,15 +125,14 @@ def test_int8_act_serving_matches_fp32_boxes():
 
 
 def test_fake_quant_forward_close_to_fp32():
-    net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
-                        SPEC.class_num, alpha=0.25)
-    variables = net.init(jax.random.PRNGKey(1))
+    net, variables = _net_vars(seed=1)
     fq = {"params": fake_quant_tree(variables["params"]),
           "batch_stats": variables["batch_stats"]}
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
-    outs = net.apply(variables, x, train=False)
-    outs_q = net.apply(fq, x, train=False)
+    apply = jax.jit(lambda v, x: net.apply(v, x, train=False))
+    outs = apply(variables, x)
+    outs_q = apply(fq, x)
     for o, oq in zip(outs, outs_q):
         # raw head logits stay close under weight-only int8
         assert float(jnp.max(jnp.abs(o - oq))) < 0.25
@@ -140,8 +141,74 @@ def test_fake_quant_forward_close_to_fp32():
 
 
 def test_predictor_rejects_unknown_quantize_mode():
-    net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
-                        SPEC.class_num, alpha=0.25)
-    variables = net.init(jax.random.PRNGKey(0))
+    net, variables = _net_vars()
     with pytest.raises(ValueError):
         Predictor(net, dict(variables), SPEC, quantize="int4")
+
+
+def test_int8_conv_affine_zero_point_folds_exactly():
+    """The affine zero point must fold out of the int32 matmul EXACTLY:
+    our int math == an fp32 conv over the dequantized activations
+    (xdq = (xq - zp)*sx, with real-zero SAME padding — exact because the
+    explicit zp padding dequantizes to 0).  Any border mistake in the
+    zp-padding + per-channel correction shows up here as a factor-level
+    error on the frame pixels."""
+    from k210_yolo_framework_tpu.models.layers import _Int8Conv
+
+    rng = np.random.default_rng(7)
+    # skewed, non-centered input with a nonzero zero point
+    x = jnp.asarray((rng.uniform(-0.2, 1.5, (2, 7, 9, 12))).astype(np.float32))
+    for kern, pad, strides in [((3, 3), "SAME", (1, 1)),
+                               ((1, 1), "SAME", (1, 1)),
+                               ((3, 3), "VALID", (1, 1))]:
+        m = _Int8Conv(features=6, kernel=kern, strides=strides, padding=pad,
+                      out_dtype=jnp.float32, affine_act=True)
+        v = m.init(jax.random.PRNGKey(0), x)
+        got = m.apply(v, x)
+
+        # rebuild the quantization exactly as the module does
+        xf = np.asarray(x, np.float64)
+        xmin = min(xf.min(), 0.0)
+        xmax = max(xf.max(), 0.0)
+        sx = max(xmax - xmin, 1e-6) / 254.0
+        zp = np.clip(-127.0 - np.round(xmin / sx), -127.0, 127.0)
+        xq = np.clip(np.round(np.float32(xf) / np.float32(sx)) + zp, -127, 127)
+        kf = np.asarray(v["params"]["kernel"], np.float64)
+        sw = np.maximum(np.abs(kf).max((0, 1, 2)), 1e-12) / 127.0
+        kq = np.clip(np.round(kf / sw), -127, 127)
+        xdq = ((xq - zp) * sx).astype(np.float32)          # exact dequant
+        kdq = (kq * sw).astype(np.float32)
+        want = jax.lax.conv_general_dilated(
+            jnp.asarray(xdq), jnp.asarray(kdq), strides, pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_int8_conv_affine_tighter_than_symmetric_on_skewed_acts():
+    """Post-LeakyReLU ranges are [-a/10, a]; the affine step is ~1.8x finer.
+    Both modes share the SAME weight quantization, so compare against the
+    conv over fp32 activations x QUANTIZED weights — isolating the
+    activation-quantization error, where affine must win clearly."""
+    from k210_yolo_framework_tpu.models.layers import _Int8Conv
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 2.0, (2, 8, 8, 16))
+    x = jnp.asarray(np.where(rng.uniform(size=pos.shape) > 0.5,
+                             pos, -0.1 * pos).astype(np.float32))
+
+    errs = {}
+    for affine in (True, False):
+        m = _Int8Conv(features=8, kernel=(3, 3), strides=(1, 1),
+                      padding="SAME", out_dtype=jnp.float32,
+                      affine_act=affine)
+        v = m.init(jax.random.PRNGKey(1), x)
+        y = m.apply(v, x)
+        kf = np.asarray(v["params"]["kernel"], np.float64)
+        sw = np.maximum(np.abs(kf).max((0, 1, 2)), 1e-12) / 127.0
+        kdq = (np.clip(np.round(kf / sw), -127, 127) * sw).astype(np.float32)
+        yref = jax.lax.conv_general_dilated(
+            x, jnp.asarray(kdq), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        errs[affine] = float(jnp.abs(y - yref).mean())
+    assert errs[True] < 0.7 * errs[False], errs
