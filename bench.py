@@ -422,6 +422,9 @@ def main():
         "serve_int8act": lambda: [bench_serve(
             metric="e2e_infer_int8act_imgs_per_sec_per_chip",
             quantize="int8_act")],
+        "serve_int8act_sym": lambda: [bench_serve(
+            metric="e2e_infer_int8act_sym_imgs_per_sec_per_chip",
+            quantize="int8_act_sym")],
         "serve_scan": lambda: [bench_serve_scan()],
         "loader": lambda: [bench_loader()],
         "train": lambda: [bench_train()],

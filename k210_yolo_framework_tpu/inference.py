@@ -69,8 +69,11 @@ class Predictor:
         ``quantize='int8_act'`` additionally computes the dense convs
         int8 x int8 -> int32 ON the MXU (models.layers.Int8Act) — the full
         KPU-style uint8-end-to-end analogue; weights stay fp32 masters,
-        quantized inside the program (dynamic activation scales, no
-        calibration pass).
+        quantized inside the program (dynamic affine activation scales, no
+        calibration pass; mAP-neutral on the synthetic eval).
+        ``quantize='int8_act_sym'`` keeps symmetric activation scales — the
+        max-throughput point (~+7% over affine) at a measured accuracy cost
+        (PARITY.md table).
         """
         import dataclasses
 
@@ -79,13 +82,16 @@ class Predictor:
             compute_dtype = getattr(net.module, "dtype", jnp.float32)
         if isinstance(compute_dtype, Int8Act):  # normalize: flag via quantize=
             compute_dtype = compute_dtype.out_dtype
-        module_dtype = Int8Act(compute_dtype) if quantize == "int8_act" \
-            else compute_dtype
+        if quantize in ("int8_act", "int8_act_sym"):
+            module_dtype = Int8Act(compute_dtype,
+                                   affine=quantize == "int8_act")
+        else:
+            module_dtype = compute_dtype
         if getattr(net.module, "dtype", None) != module_dtype:
             net = dataclasses.replace(
                 net, module=net.module.clone(dtype=module_dtype))
         self.net = net
-        if quantize not in (None, "int8", "int8_act"):
+        if quantize not in (None, "int8", "int8_act", "int8_act_sym"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.quantize = quantize
         if quantize == "int8":
@@ -103,7 +109,7 @@ class Predictor:
 
     def _materialize(self, variables):
         """Traceable: int8 QTensor kernels -> dense fp32 (inside jit)."""
-        if self.quantize in (None, "int8_act"):  # int8_act keeps fp32 masters
+        if self.quantize != "int8":  # int8_act* keep fp32 masters
             return variables
         from k210_yolo_framework_tpu.quantize import dequantize_tree
         return {**variables, "params": dequantize_tree(variables["params"])}

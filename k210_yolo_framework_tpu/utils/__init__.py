@@ -13,6 +13,6 @@ def quantize_mode(flag: str) -> Optional[str]:
     v = str(flag).lower()
     if v in ("true", "int8"):
         return "int8"
-    if v == "int8_act":
-        return "int8_act"
+    if v in ("int8_act", "int8_act_sym"):  # _sym = symmetric act scales
+        return v
     return None

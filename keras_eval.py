@@ -94,7 +94,8 @@ def parse_args(argv):
                         help="int8: serve from per-channel int8 conv kernels "
                              "(the reference's kmodel quantization story) — "
                              "measures the mAP cost of quantized serving; "
-                             "int8_act: also int8 MXU conv compute")
+                             "int8_act: also int8 MXU conv compute (affine "
+                             "act scales; int8_act_sym = symmetric)")
     parser.add_argument("--limit", type=int, default=0)
     return parser.parse_args(argv)
 

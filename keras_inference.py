@@ -82,7 +82,9 @@ def parse_args(argv):
                         help="'int8' (or 'True') serves from per-channel int8 "
                              "conv kernels — the kmodel device-story analogue; "
                              "'int8_act' also computes dense convs in int8 on "
-                             "the MXU (dynamic activation quantization)")
+                             "the MXU (dynamic affine activation quantization; "
+                             "'int8_act_sym' = symmetric scales, faster but "
+                             "costs accuracy)")
     parser.add_argument("pre_ckpt", type=str)
     parser.add_argument("test_image", type=str)
     return parser.parse_args(argv)

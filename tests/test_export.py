@@ -189,3 +189,34 @@ def test_all_builders_one_train_step(name, layers):
     images = jnp.asarray(rng.uniform(0, 1, (B, 96, 96, 3)).astype(np.float32))
     state, logs = step(state, images, labels)
     assert np.isfinite(float(logs["loss"]))
+
+
+def test_serving_stablehlo_int8_act_roundtrip():
+    """The int8-act (MXU int8 compute, affine zero-point activations)
+    serving program must export to StableHLO and replay: the dynamic
+    quantization is ordinary traced ops, so the artifact embeds the whole
+    scheme (smoke: executes, shapes/dtypes right, scores thresholded)."""
+    from k210_yolo_framework_tpu.export import export_serving_stablehlo
+    from k210_yolo_framework_tpu.inference import Predictor
+
+    spec = _tiny_spec()
+    net, variables = shared.net_and_vars("yolo_mobilev1", spec.in_hw,
+                                         spec.nanchors, spec.class_num,
+                                         alpha=0.5)
+    pred = Predictor(net, variables, spec, obj_thresh=0.05,
+                     compute_dtype=jnp.float32, quantize="int8_act")
+    blob = export_serving_stablehlo(pred, batch=2)
+
+    from jax import export as jexport
+    restored = jexport.deserialize(bytearray(blob))
+    rng = np.random.default_rng(1)
+    canv = jnp.asarray(rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8))
+    hws = jnp.asarray(np.tile([80, 96], (2, 1)).astype(np.int32))
+    boxes, scores, classes, valid = restored.call(canv, hws)
+    assert np.asarray(valid).dtype == np.bool_
+    assert np.asarray(boxes).shape[0] == 2
+    # scores of surviving detections are finite and thresholded
+    v = np.asarray(valid)
+    if v.any():
+        s = np.asarray(scores)[v]
+        assert np.isfinite(s).all() and (s >= 0.05 - 1e-6).all()

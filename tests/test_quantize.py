@@ -93,15 +93,20 @@ def test_int8_serving_matches_fp32_boxes():
     assert matched >= 0.8 * len(a.boxes), (matched, len(a.boxes))
 
 
-def test_int8_act_serving_matches_fp32_boxes():
-    """quantize='int8_act' (int8 MXU conv compute, dynamic activation
+@pytest.mark.parametrize("mode", [
+    "int8_act",
+    # symmetric scales: the max-throughput point; marked slow — same code
+    # path as affine minus the zero point, covered unit-level above
+    pytest.param("int8_act_sym", marks=pytest.mark.slow)])
+def test_int8_act_serving_matches_fp32_boxes(mode):
+    """quantize='int8_act' (int8 MXU conv compute, dynamic affine activation
     scales — models.layers.Int8Act) keeps detections close to fp32.
     Activation quantization adds more noise than weight-only int8, so the
     match criteria are looser but still bound the error."""
     net, variables = _net_vars()
     kw = dict(obj_thresh=0.1, iou_thresh=0.3, max_out=10)
     fp32 = Predictor(net, variables, SPEC, **kw)
-    i8a = Predictor(net, variables, SPEC, quantize="int8_act", **kw)
+    i8a = Predictor(net, variables, SPEC, quantize=mode, **kw)
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
@@ -144,6 +149,15 @@ def test_predictor_rejects_unknown_quantize_mode():
     net, variables = _net_vars()
     with pytest.raises(ValueError):
         Predictor(net, dict(variables), SPEC, quantize="int4")
+
+
+def test_quantize_mode_cli_parse():
+    from k210_yolo_framework_tpu.utils import quantize_mode
+    assert quantize_mode("True") == "int8"
+    assert quantize_mode("int8") == "int8"
+    assert quantize_mode("int8_act") == "int8_act"
+    assert quantize_mode("int8_act_sym") == "int8_act_sym"
+    assert quantize_mode("False") is None
 
 
 def test_int8_conv_affine_zero_point_folds_exactly():
