@@ -400,7 +400,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
                     choices=["serve", "serve512", "serve_int8",
-                             "serve_int8act", "serve_scan",
+                             "serve_int8act", "serve_int8act_sym",
+                             "serve_scan",
                              "loader", "train", "train_e2e", "all"])
     ap.add_argument("--model_def", default=MODEL_DEF,
                     help="any 2-output-layer builder under the VOC spec "

@@ -80,8 +80,20 @@ class Predictor:
         from k210_yolo_framework_tpu.models.layers import Int8Act
         if compute_dtype is None:
             compute_dtype = getattr(net.module, "dtype", jnp.float32)
-        if isinstance(compute_dtype, Int8Act):  # normalize: flag via quantize=
-            compute_dtype = compute_dtype.out_dtype
+        if isinstance(compute_dtype, Int8Act):
+            # an Int8Act sentinel (passed directly, or baked into the net by
+            # build_network(dtype=Int8Act(...))) IS a quantize request — do
+            # not silently strip it back to a float dtype, and keep its
+            # affine choice unless the quantize string explicitly conflicts
+            act = compute_dtype
+            implied = "int8_act" if act.affine else "int8_act_sym"
+            if quantize is None:
+                quantize = implied
+            elif quantize != implied:
+                raise ValueError(
+                    f"conflicting quantize modes: compute_dtype={act!r} "
+                    f"implies {implied!r} but quantize={quantize!r}")
+            compute_dtype = act.out_dtype
         if quantize in ("int8_act", "int8_act_sym"):
             module_dtype = Int8Act(compute_dtype,
                                    affine=quantize == "int8_act")

@@ -352,6 +352,14 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dtype, int8_act = _split_dtype(self.dtype)
+        if int8_act and train:
+            # jnp.round has zero derivative: kernel gradients through the
+            # int8 path are silently dead (no straight-through estimator /
+            # QAT here) — refuse rather than "train" a frozen conv stack
+            raise NotImplementedError(
+                "Int8Act is a serving-only compute mode; build the training "
+                "net with a float dtype (train with bf16/fp32, serve with "
+                "quantize='int8_act')")
         pad = _pad_for(self.strides, self.explicit_pad)
         if self.explicit_pad is not None:
             x = jnp.pad(x, ((0, 0),) + tuple(self.explicit_pad) + ((0, 0),))

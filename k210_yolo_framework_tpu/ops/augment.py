@@ -122,31 +122,52 @@ def _shear_x(img: jnp.ndarray, offs: jnp.ndarray, bound: int) -> jnp.ndarray:
     an intermediate with a one-radix margin, then a fine two-tap shear with
     the remainder offset in [0, R): O(range/R + R) slice terms instead of
     O(range)."""
-    R = _SHEAR_RADIX
-    if bound <= 2 * R:
+    if bound <= 2 * _SHEAR_RADIX:
         return _shear_x_direct(img, offs, bound)
+    return _shear_radix(img, offs, bound, axis=1)
+
+
+def _shear_radix(img: jnp.ndarray, offs: jnp.ndarray, bound: int,
+                 axis: int) -> jnp.ndarray:
+    """Shared radix body for both shear passes: shift along ``axis`` (1 =
+    columns/x, 0 = rows/y) by per-line continuous ``offs`` (indexed by the
+    OTHER axis).  Coarse integer shift in multiples of ``_SHEAR_RADIX``
+    into an intermediate with a one-radix margin, then a fine two-tap shear
+    with the remainder in [0, R) — numerically IDENTICAL to the direct
+    weighted sum (only zero-weight slice terms are removed)."""
     import math
-    h, w = img.shape[0], img.shape[1]
+    R = _SHEAR_RADIX
+    n = img.shape[axis]
+
+    def bc(v):
+        # broadcast a per-line vector over the sheared axis + channels
+        return jnp.expand_dims(v, (axis, 2))
+
     k = jnp.floor(offs)
     coarse = jnp.floor(k / R) * R                  # multiple of R, <= k
     kmax = R * int(math.ceil(bound / R))           # |coarse| <= kmax
     pad = kmax + R
     ki = coarse.astype(jnp.int32)
-    padded = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)))
-    # tmp[y, xt] = img[y, xt - R - coarse[y]] on a width w+2R frame: the
-    # margin keeps content a fine shift of up to R pixels would re-enter
-    tmp = jnp.zeros((h, w + 2 * R, img.shape[2]), img.dtype)
+    pads = [(0, 0), (0, 0), (0, 0)]
+    pads[axis] = (pad, pad)
+    padded = jnp.pad(img, pads)
+    # tmp = img shifted by -R-coarse on an n+2R frame: the margin keeps
+    # content a fine shift of up to R pixels would re-enter
+    tshape = list(img.shape)
+    tshape[axis] = n + 2 * R
+    tmp = jnp.zeros(tshape, img.dtype)
     for kc in range(-kmax, kmax + 1, R):
-        sel = (ki == kc).astype(img.dtype)[:, None, None]
+        sel = bc((ki == kc).astype(img.dtype))
         tmp = tmp + sel * jax.lax.slice_in_dim(padded, pad - R - kc,
-                                               pad + R - kc + w, axis=1)
-    f = (offs - k).astype(img.dtype)[:, None, None]
+                                               pad + R - kc + n, axis=axis)
+    f = bc((offs - k).astype(img.dtype))
     kf = (k - coarse).astype(jnp.int32)            # remainder in [0, R-1]
     acc = jnp.zeros_like(img)
     for kk in range(0, R + 1):
-        wk = (kf == kk).astype(img.dtype)[:, None, None] * (1 - f) \
-            + (kf == kk - 1).astype(img.dtype)[:, None, None] * f
-        acc = acc + wk * jax.lax.slice_in_dim(tmp, R - kk, R - kk + w, axis=1)
+        wk = bc((kf == kk).astype(img.dtype)) * (1 - f) \
+            + bc((kf == kk - 1).astype(img.dtype)) * f
+        acc = acc + wk * jax.lax.slice_in_dim(tmp, R - kk, R - kk + n,
+                                              axis=axis)
     return acc
 
 
@@ -168,30 +189,9 @@ def _shear_y(img: jnp.ndarray, offs: jnp.ndarray, bound: int) -> jnp.ndarray:
     """Vertical shear pass: ``out[y, x] = img[y - offs[x], x]``; two-tap
     bilinear along y, zero fill; ``offs`` [W], |offs| < ``bound`` (static).
     Same radix decomposition as :func:`_shear_x` above the bound threshold."""
-    R = _SHEAR_RADIX
-    if bound <= 2 * R:
+    if bound <= 2 * _SHEAR_RADIX:
         return _shear_y_direct(img, offs, bound)
-    import math
-    h, w = img.shape[0], img.shape[1]
-    k = jnp.floor(offs)
-    coarse = jnp.floor(k / R) * R
-    kmax = R * int(math.ceil(bound / R))
-    pad = kmax + R
-    ki = coarse.astype(jnp.int32)
-    padded = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)))
-    tmp = jnp.zeros((h + 2 * R, w, img.shape[2]), img.dtype)
-    for kc in range(-kmax, kmax + 1, R):
-        sel = (ki == kc).astype(img.dtype)[None, :, None]
-        tmp = tmp + sel * jax.lax.slice_in_dim(padded, pad - R - kc,
-                                               pad + R - kc + h, axis=0)
-    f = (offs - k).astype(img.dtype)[None, :, None]
-    kf = (k - coarse).astype(jnp.int32)
-    acc = jnp.zeros_like(img)
-    for kk in range(0, R + 1):
-        wk = (kf == kk).astype(img.dtype)[None, :, None] * (1 - f) \
-            + (kf == kk - 1).astype(img.dtype)[None, :, None] * f
-        acc = acc + wk * jax.lax.slice_in_dim(tmp, R - kk, R - kk + h, axis=0)
-    return acc
+    return _shear_radix(img, offs, bound, axis=0)
 
 
 def _rotate_3shear(img: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:

@@ -15,4 +15,9 @@ def quantize_mode(flag: str) -> Optional[str]:
         return "int8"
     if v in ("int8_act", "int8_act_sym"):  # _sym = symmetric act scales
         return v
-    return None
+    if v in ("false", "none", "", "0", "no"):
+        return None
+    # a typo'd mode must NOT silently serve fp32 and report it as quantized
+    raise ValueError(
+        f"unknown --quantize value {flag!r}; expected one of "
+        "True/int8, int8_act, int8_act_sym, False")

@@ -226,3 +226,36 @@ def test_int8_conv_affine_tighter_than_symmetric_on_skewed_acts():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         errs[affine] = float(jnp.abs(y - yref).mean())
     assert errs[True] < 0.7 * errs[False], errs
+
+
+def test_int8_act_guards():
+    """Round-3 review findings: (a) Int8Act refuses train mode (round() has
+    zero derivative — training would silently freeze the conv stack);
+    (b) Predictor must not silently strip/override an Int8Act sentinel;
+    (c) quantize_mode raises on typo'd modes instead of serving fp32."""
+    from k210_yolo_framework_tpu.models import build_network
+    from k210_yolo_framework_tpu.models.layers import Int8Act
+    from k210_yolo_framework_tpu.utils import quantize_mode
+
+    net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
+                        SPEC.class_num, alpha=0.25, dtype=Int8Act())
+    variables = shared.net_and_vars("yolo_mobilev1", SPEC.in_hw,
+                                    SPEC.nanchors, SPEC.class_num,
+                                    alpha=0.25, seed=3)[1]
+    x = jnp.zeros((1, *SPEC.in_hw, 3), jnp.float32)
+    with pytest.raises(NotImplementedError, match="serving-only"):
+        net.apply(dict(variables), x, train=True)
+
+    # an Int8Act-built net implies quantize='int8_act' (not silent bf16)
+    p = Predictor(net, dict(variables), SPEC, obj_thresh=0.1)
+    assert p.quantize == "int8_act"
+    # explicit affine=False sentinel implies the _sym mode
+    p2 = Predictor(net, dict(variables), SPEC, obj_thresh=0.1,
+                   compute_dtype=Int8Act(affine=False))
+    assert p2.quantize == "int8_act_sym"
+    with pytest.raises(ValueError, match="conflicting"):
+        Predictor(net, dict(variables), SPEC,
+                  compute_dtype=Int8Act(affine=False), quantize="int8_act")
+
+    with pytest.raises(ValueError, match="unknown --quantize"):
+        quantize_mode("int8act")
