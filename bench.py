@@ -61,15 +61,28 @@ SERVE_BATCH = 256
 TRAIN_BATCH = 64
 
 
+def _demo_spec():
+    """VOC demo spec for the selected model: 2 output layers, or 3 (strides
+    32/16/8, half-scale third anchor layer) for the darknet53 'yolo'."""
+    from k210_yolo_framework_tpu.config import VOC_ANCHORS, YoloSpec, voc_spec
+
+    if MODEL_DEF == "yolo":
+        anchors = np.concatenate(
+            [np.asarray(VOC_ANCHORS),
+             np.asarray(VOC_ANCHORS)[1:] * 0.5], 0)
+        return YoloSpec.create((224, 320), ((7, 10), (14, 20), (28, 40)),
+                               20, anchors)
+    return voc_spec()
+
+
 def _demo_predictor(quantize=None):
     import jax
     import jax.numpy as jnp
 
-    from k210_yolo_framework_tpu.config import voc_spec
     from k210_yolo_framework_tpu.inference import Predictor
     from k210_yolo_framework_tpu.models import build_network
 
-    spec = voc_spec()
+    spec = _demo_spec()
     net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=ALPHA)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0))
@@ -275,13 +288,13 @@ def bench_train():
     import jax
     import jax.numpy as jnp
 
-    from k210_yolo_framework_tpu.config import TrainConfig, voc_spec
+    from k210_yolo_framework_tpu.config import TrainConfig
     from k210_yolo_framework_tpu.models import build_network
     from k210_yolo_framework_tpu.ops import codec as C
     from k210_yolo_framework_tpu.training import train as T
 
     batch = TRAIN_BATCH
-    spec = voc_spec()
+    spec = _demo_spec()
     cfg = TrainConfig(batch_size=batch)
     # single chip: the stock depthwise grad is correct and cheaper
     net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
@@ -345,13 +358,13 @@ def bench_train_e2e():
     import jax
     import jax.numpy as jnp
 
-    from k210_yolo_framework_tpu.config import TrainConfig, voc_spec
+    from k210_yolo_framework_tpu.config import TrainConfig
     from k210_yolo_framework_tpu.data import pipeline as PL
     from k210_yolo_framework_tpu.models import build_network
     from k210_yolo_framework_tpu.training import train as T
 
     batch = TRAIN_BATCH
-    spec = voc_spec()
+    spec = _demo_spec()
     cfg = TrainConfig(batch_size=batch)
     net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=ALPHA, dtype=jnp.bfloat16,
@@ -404,8 +417,9 @@ def main():
                              "serve_scan",
                              "loader", "train", "train_e2e", "all"])
     ap.add_argument("--model_def", default=MODEL_DEF,
-                    help="any 2-output-layer builder under the VOC spec "
-                         "(yolo_mobilev1, yolo_mobilev2, tiny_yolo)")
+                    help="any zoo builder under the VOC spec: yolo_mobilev1, "
+                         "yolo_mobilev2, tiny_yolo (2 layers) or yolo "
+                         "(darknet53, 3 layers)")
     ap.add_argument("--depth_multiplier", type=float, default=ALPHA)
     ap.add_argument("--batch_size", type=int, default=0,
                     help="override batch (serve default 256, train 64)")

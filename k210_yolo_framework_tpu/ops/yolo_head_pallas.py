@@ -103,7 +103,10 @@ def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
     bh = jnp.exp(p[:, 3:4]) * ah
 
     # letterbox inverse -> original-image pixels (keras_inference.py:32-72)
-    lb = lbox_ref[:]                                  # [G, 8]
+    # lbox arrives [1, G, 8]: the leading grid dim lets the (G, 8) block
+    # satisfy mosaic's last-two-dims rule for ANY G (G<8 fails as a 2-D
+    # block when G is not a multiple of 8)
+    lb = lbox_ref[0]                                  # [G, 8]
     gsz = lb.shape[0]
 
     def col(i):                                       # [G, 1, 1]
@@ -162,7 +165,13 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
     cp = _round_up(classes, 8)
     ep = _round_up(5 + cp, 8)  # entry rows must cover the padded class rows
     so = _round_up(max_out, 128)
-    G = 8                      # images per program (amortizes the greedy chain)
+    # Images per program: more images amortize the sequential greedy-NMS
+    # chain, but every image adds ~ep*np_ fp32 of VMEM-resident block (plus
+    # score/suppression scratch).  Scale G down as the candidate count
+    # grows so the footprint stays inside the ~16 MB scoped-VMEM limit:
+    # G*np_ <= 9216 keeps exactly the proven 2-layer envelope (G=8 at
+    # np_=1152; darknet53's 3-scale 4480 candidates get G=2).
+    G = max(1, min(8, 9216 // np_))
     bp = _round_up(bsz, G)
 
     preds_t = jnp.transpose(jnp.concatenate(flat, axis=1), (0, 2, 1))
@@ -172,6 +181,7 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
                    ((0, 0), (0, np_ - n)))
     lbox = letterbox_inverse_params(img_hws, spec.in_hw)        # [B, 8]
     lbox = jnp.pad(lbox, ((0, bp - bsz), (0, 0)), constant_values=1.0)
+    lbox = lbox.reshape(bp // G, G, 8)
 
     kernel = functools.partial(_kernel, n=n, classes=classes, cp=cp,
                                max_out=max_out, iou_thresh=iou_thresh,
@@ -184,7 +194,7 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, np_), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 8), lambda b: (b, 0),
+            pl.BlockSpec((1, G, 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

@@ -53,3 +53,34 @@ def test_fused_empty():
     img_hws = jnp.asarray(np.tile([300, 400], (B, 1)).astype(np.int32))
     res = fused_decode_nms(preds, spec, img_hws, 0.7, 0.3, 30)
     assert not np.asarray(res.valid).any()
+
+
+@pytest.mark.slow
+def test_fused_three_scale_adaptive_grouping():
+    """darknet53-style 3-scale specs exceed the 8-images-per-program VMEM
+    envelope (found on-chip: 4480 candidates x 8 images = 25.5 MB scoped
+    VMEM vs the 16 MB limit); fused_decode_nms now scales images-per-program
+    down with the candidate count.  This spec pads to 2304 candidates -> G=4;
+    results must still match the two-stage path exactly."""
+    rng = np.random.default_rng(5)
+    anchors = np.sort(rng.uniform(0.05, 0.9, (3, 3, 2)).astype(np.float32))[:, ::-1]
+    spec = YoloSpec.create((192, 192), ((6, 6), (12, 12), (24, 24)), 6, anchors)
+
+    B = 6  # not a multiple of G=4: exercises the batch padding too
+    preds = [jnp.asarray(rng.normal(0, 2, (B, h, w, 3, 5 + spec.class_num))
+                         .astype(np.float32)) for h, w in spec.out_hws]
+    img_hws = jnp.asarray(rng.integers(100, 512, (B, 2)).astype(np.int32))
+
+    res_f = fused_decode_nms(preds, spec, img_hws, 0.3, 0.45, 30)
+
+    import jax
+    def two_stage(p0, p1, p2, hw):
+        return D.decode_outputs([p0, p1, p2], spec, hw, False)
+    b, s = jax.vmap(two_stage)(preds[0], preds[1], preds[2], img_hws)
+    res_t = batched_nms_pallas(b, s, 0.3, 0.45, 30)
+
+    np.testing.assert_array_equal(np.asarray(res_f.valid), np.asarray(res_t.valid))
+    np.testing.assert_allclose(np.asarray(res_f.scores), np.asarray(res_t.scores),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f.boxes), np.asarray(res_t.boxes),
+                               rtol=1e-3, atol=0.05)
