@@ -102,6 +102,8 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
     canvases = jnp.asarray(
         rng.integers(0, 256, (batch, *canvas_hw, 3)).astype(np.uint8))
     img_hws = jnp.asarray(np.tile(canvas_hw, (batch, 1)).astype(np.int32))
+    if quantize == "int8_act_cal":
+        pred.calibrate(canvases, img_hws)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(canv):
@@ -414,7 +416,7 @@ def main():
     ap.add_argument("--mode", default="serve",
                     choices=["serve", "serve512", "serve_int8",
                              "serve_int8act", "serve_int8act_sym",
-                             "serve_scan",
+                             "serve_int8act_cal", "serve_scan",
                              "loader", "train", "train_e2e", "all"])
     ap.add_argument("--model_def", default=MODEL_DEF,
                     help="any zoo builder under the VOC spec: yolo_mobilev1, "
@@ -440,6 +442,9 @@ def main():
         "serve_int8act_sym": lambda: [bench_serve(
             metric="e2e_infer_int8act_sym_imgs_per_sec_per_chip",
             quantize="int8_act_sym")],
+        "serve_int8act_cal": lambda: [bench_serve(
+            metric="e2e_infer_int8act_cal_imgs_per_sec_per_chip",
+            quantize="int8_act_cal")],
         "serve_scan": lambda: [bench_serve_scan()],
         "loader": lambda: [bench_loader()],
         "train": lambda: [bench_train()],

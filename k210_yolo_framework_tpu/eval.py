@@ -154,6 +154,13 @@ def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
             for r in rows]
 
     try:
+        if getattr(predictor, "quantize", None) == "int8_act_cal" \
+                and "act_ranges" not in predictor.variables:
+            # calibrate activation ranges on the first batch (the
+            # ncc --dataset analogue) before any quantized serving
+            _, futs = submit(0)
+            canv, hws0 = zip(*(f.result() for f in futs))
+            predictor.calibrate(np.stack(canv), np.stack(hws0))
         pending = submit(0)
         for start in range(0, n, batch_size):
             rows, futs = pending

@@ -74,6 +74,11 @@ class Predictor:
         ``quantize='int8_act_sym'`` keeps symmetric activation scales — the
         max-throughput point (~+7% over affine) at a measured accuracy cost
         (PARITY.md table).
+        ``quantize='int8_act_cal'`` uses STATIC calibrated activation ranges
+        (the nncase ``ncc --dataset`` scheme): call :meth:`calibrate` with a
+        representative batch before serving.  The quantize then fuses into
+        each producer's epilogue — the dynamic scheme's extra activation
+        passes (a measured loss on large-activation nets) disappear.
         """
         import dataclasses
 
@@ -86,7 +91,8 @@ class Predictor:
             # not silently strip it back to a float dtype, and keep its
             # affine choice unless the quantize string explicitly conflicts
             act = compute_dtype
-            implied = "int8_act" if act.affine else "int8_act_sym"
+            implied = "int8_act_cal" if act.static else (
+                "int8_act" if act.affine else "int8_act_sym")
             if quantize is None:
                 quantize = implied
             elif quantize != implied:
@@ -94,16 +100,18 @@ class Predictor:
                     f"conflicting quantize modes: compute_dtype={act!r} "
                     f"implies {implied!r} but quantize={quantize!r}")
             compute_dtype = act.out_dtype
-        if quantize in ("int8_act", "int8_act_sym"):
+        if quantize in ("int8_act", "int8_act_sym", "int8_act_cal"):
             module_dtype = Int8Act(compute_dtype,
-                                   affine=quantize == "int8_act")
+                                   affine=quantize != "int8_act_sym",
+                                   static=quantize == "int8_act_cal")
         else:
             module_dtype = compute_dtype
         if getattr(net.module, "dtype", None) != module_dtype:
             net = dataclasses.replace(
                 net, module=net.module.clone(dtype=module_dtype))
         self.net = net
-        if quantize not in (None, "int8", "int8_act", "int8_act_sym"):
+        if quantize not in (None, "int8", "int8_act", "int8_act_sym",
+                            "int8_act_cal"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.quantize = quantize
         if quantize == "int8":
@@ -126,6 +134,46 @@ class Predictor:
         from k210_yolo_framework_tpu.quantize import dequantize_tree
         return {**variables, "params": dequantize_tree(variables["params"])}
 
+    def calibrate(self, canvases, img_hws) -> "Predictor":
+        """Record per-conv activation ranges for ``quantize='int8_act_cal'``
+        from a representative batch (the ``ncc --dataset`` calibration step,
+        reference README.md:152-154).  The recording forward runs
+        UNquantized — ranges must reflect the float net — and ranges widen
+        monotonically across repeated calls.  Returns self."""
+        if self.quantize != "int8_act_cal":
+            raise ValueError(
+                "calibrate() only applies to quantize='int8_act_cal'")
+        import dataclasses
+
+        from k210_yolo_framework_tpu.models.layers import Int8Act
+        cal_mod = self.net.module.clone(
+            dtype=Int8Act(self.compute_dtype, static=True, calibrate=True))
+
+        @jax.jit
+        def run(variables, canv, hws):
+            def one(canvas, hw):
+                img = LB.letterbox_image(canvas, hw, self.spec.in_hw,
+                                         dtype=self.compute_dtype)
+                return LB.normalize_image(img).astype(self.compute_dtype)
+
+            imgs = jax.vmap(one)(canv, hws)
+            _, upd = cal_mod.apply(variables, imgs, train=False,
+                                   mutable=["act_ranges"])
+            return upd["act_ranges"]
+
+        ranges = run(self.variables, jnp.asarray(canvases),
+                     jnp.asarray(img_hws))
+        self.variables = {**self.variables, "act_ranges": ranges}
+        return self
+
+    def _require_calibrated(self):
+        if self.quantize == "int8_act_cal" \
+                and "act_ranges" not in self.variables:
+            raise RuntimeError(
+                "quantize='int8_act_cal' serves from calibrated activation "
+                "ranges: call calibrate(canvases, img_hws) with a "
+                "representative batch first")
+
     # ---- single image (per-shape compile, like a CLI tool) ---------------
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -145,6 +193,7 @@ class Predictor:
 
     def predict_image(self, img: np.ndarray) -> Detections:
         """img: [h, w, 3] uint8 original image."""
+        self._require_calibrated()
         hw = jnp.asarray(img.shape[:2], jnp.int32)
         res = self._run_single(self.variables, jnp.asarray(img), hw)
         valid = np.asarray(res.valid[0])
@@ -187,6 +236,7 @@ class Predictor:
 
         from k210_yolo_framework_tpu.parallel.mesh import DATA_AXIS
 
+        self._require_calibrated()
         variables = jax.device_put(self.variables, NamedSharding(mesh, P()))
 
         def local(canvases, img_hws):
@@ -210,6 +260,7 @@ class Predictor:
         return jax.jit(sharded)
 
     def predict_batch(self, canvases: np.ndarray, img_hws: np.ndarray) -> List[Detections]:
+        self._require_calibrated()
         res = self._run_batch(self.variables, jnp.asarray(canvases),
                               jnp.asarray(img_hws, jnp.int32))
         out = []

@@ -60,23 +60,41 @@ class Int8Act:
     zero-point variant recovers it with one exact per-channel correction
     term (see ``_Int8Conv``).  ``affine=False`` keeps the symmetric scheme
     for comparison (measured table in PARITY.md).
+
+    ``static`` reads each conv's activation range from the ``act_ranges``
+    variable collection instead of reducing it in-graph — nncase's own
+    calibration scheme (``ncc --dataset``, README.md:152-154).  The scale
+    no longer depends on a full reduction of x, so XLA can fuse the
+    quantize into the producing op's epilogue: the dynamic scheme's two
+    extra full-activation passes (min/max reduce + quantize) disappear —
+    they are what made dynamic int8-act a measured LOSS on darknet53's
+    large activations.  ``calibrate`` (with ``static``) makes the conv
+    RECORD batch min/max into ``act_ranges`` (run with
+    ``mutable=["act_ranges"]``; ranges widen monotonically over batches).
     """
 
-    def __init__(self, out_dtype: Any = jnp.bfloat16, affine: bool = True):
+    def __init__(self, out_dtype: Any = jnp.bfloat16, affine: bool = True,
+                 static: bool = False, calibrate: bool = False):
         self.out_dtype = out_dtype
         self.affine = affine
+        self.static = static
+        self.calibrate = calibrate
 
     # modules hash their attributes for the jit cache key
     def __hash__(self):
-        return hash((Int8Act, jnp.dtype(self.out_dtype).name, self.affine))
+        return hash((Int8Act, jnp.dtype(self.out_dtype).name, self.affine,
+                     self.static, self.calibrate))
 
     def __eq__(self, other):
         return (isinstance(other, Int8Act)
                 and jnp.dtype(self.out_dtype) == jnp.dtype(other.out_dtype)
-                and self.affine == other.affine)
+                and (self.affine, self.static, self.calibrate)
+                == (other.affine, other.static, other.calibrate))
 
     def __repr__(self):
-        return f"Int8Act({jnp.dtype(self.out_dtype).name}, affine={self.affine})"
+        return (f"Int8Act({jnp.dtype(self.out_dtype).name}, "
+                f"affine={self.affine}, static={self.static}, "
+                f"calibrate={self.calibrate})")
 
 
 def _split_dtype(dtype):
@@ -173,6 +191,8 @@ class _Int8Conv(nn.Module):
     padding: Any
     out_dtype: Any = jnp.bfloat16
     affine_act: bool = True
+    static_act: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -184,8 +204,33 @@ class _Int8Conv(nn.Module):
         sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
         kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
 
+        if self.static_act:
+            # calibrated per-tensor range (the nncase scheme): the scale no
+            # longer depends on a reduction of x, so the quantize fuses
+            # into the producer's epilogue — no extra activation passes
+            rmin = self.variable("act_ranges", "min",
+                                 lambda: jnp.zeros((), jnp.float32))
+            rmax = self.variable("act_ranges", "max",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if self.calibrate:
+                rmin.value = jnp.minimum(rmin.value, jnp.min(xf))
+                rmax.value = jnp.maximum(rmax.value, jnp.max(xf))
+                # calibration forward runs UNquantized: ranges must reflect
+                # the float net's activations, not a half-calibrated
+                # quantized one (layer N's input would otherwise depend on
+                # layer N-1's still-collapsing ranges)
+                y = jax.lax.conv_general_dilated(
+                    xf, kf, tuple(self.strides), self.padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return y.astype(self.out_dtype)
+            xmin = jnp.minimum(rmin.value, 0.0)
+            xmax = jnp.maximum(rmax.value, 0.0)
+        else:
+            xmin = jnp.minimum(jnp.min(xf), 0.0)
+            xmax = jnp.maximum(jnp.max(xf), 0.0)
+
         if not self.affine_act:
-            sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+            sx = jnp.maximum(jnp.maximum(-xmin, xmax), 1e-6) / 127.0
             xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xq, kq, tuple(self.strides), self.padding,
@@ -195,9 +240,8 @@ class _Int8Conv(nn.Module):
 
         # affine: zp chosen so min -> -127, max -> +127, and 0 is exactly
         # representable (min<=0<=max is forced so ReLU-family zeros and the
-        # zp padding are exact)
-        xmin = jnp.minimum(jnp.min(xf), 0.0)
-        xmax = jnp.maximum(jnp.max(xf), 0.0)
+        # zp padding are exact); under static ranges an out-of-range
+        # activation saturates via the clip, as on the KPU
         sx = jnp.maximum(xmax - xmin, 1e-6) / 254.0
         zp = jnp.clip(-127.0 - jnp.round(xmin / sx), -127.0, 127.0)
         xq = jnp.clip(jnp.round(xf / sx) + zp, -127.0, 127.0).astype(jnp.int8)
@@ -396,6 +440,8 @@ class ConvBN(nn.Module):
                 padding=pad,
                 out_dtype=dtype,
                 affine_act=int8_act.affine,
+                static_act=int8_act.static,
+                calibrate=int8_act.calibrate,
                 name="conv",
             )(x)
         else:

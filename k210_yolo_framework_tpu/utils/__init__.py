@@ -13,11 +13,12 @@ def quantize_mode(flag: str) -> Optional[str]:
     v = str(flag).lower()
     if v in ("true", "int8"):
         return "int8"
-    if v in ("int8_act", "int8_act_sym"):  # _sym = symmetric act scales
+    # _sym = symmetric act scales, _cal = static calibrated ranges
+    if v in ("int8_act", "int8_act_sym", "int8_act_cal"):
         return v
     if v in ("false", "none", "", "0", "no"):
         return None
     # a typo'd mode must NOT silently serve fp32 and report it as quantized
     raise ValueError(
         f"unknown --quantize value {flag!r}; expected one of "
-        "True/int8, int8_act, int8_act_sym, False")
+        "True/int8, int8_act, int8_act_sym, int8_act_cal, False")

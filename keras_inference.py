@@ -46,6 +46,11 @@ def main(args):
                      else None,
                      quantize=quantize_mode(args.quantize))
     img = read_image(args.test_image)
+    if pred.quantize == "int8_act_cal":
+        # single-image CLI: calibrate on the input itself (a 1-image
+        # representative set — nncase accepts equally small calib sets)
+        import numpy as _np
+        pred.calibrate(img[None], _np.asarray([img.shape[:2]], _np.int32))
     det = pred.predict_image(img)
 
     if len(det.classes) > 0:

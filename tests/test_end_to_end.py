@@ -78,9 +78,12 @@ def test_overfit_recalibrate_map(tmp_path):
     # analogue question: what does int8 cost in accuracy?) — recorded per
     # round in BASELINE.md's mAP table
     deltas = {}
-    for mode in ("int8", "int8_act"):
+    for mode in ("int8", "int8_act", "int8_act_cal"):
         qpred = Predictor(net, variables, spec, obj_thresh=0.1,
                           iou_thresh=0.45, max_out=20, quantize=mode)
+        if mode == "int8_act_cal":
+            qpred.calibrate(jnp.asarray(hb.canvases),
+                            jnp.asarray(hb.img_hws))
         qres = evaluate_map(qpred, ann, classes, batch_size=n_img)
         deltas[mode] = qres["map"] - res["map"]
         assert qres["map"] > 0.75, \

@@ -259,3 +259,67 @@ def test_int8_act_guards():
 
     with pytest.raises(ValueError, match="unknown --quantize"):
         quantize_mode("int8act")
+
+
+def test_int8_conv_static_ranges_match_dynamic():
+    """With act_ranges set to exactly the batch min/max, the static
+    (calibrated) conv must be BIT-identical to the dynamic affine conv —
+    the only difference is where the range comes from."""
+    from k210_yolo_framework_tpu.models.layers import _Int8Conv
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-0.3, 1.2, (2, 8, 8, 12)).astype(np.float32))
+    dyn = _Int8Conv(features=6, kernel=(3, 3), strides=(1, 1),
+                    padding="SAME", out_dtype=jnp.float32, affine_act=True)
+    v = dyn.init(jax.random.PRNGKey(0), x)
+    y_dyn = dyn.apply(v, x)
+
+    st = _Int8Conv(features=6, kernel=(3, 3), strides=(1, 1),
+                   padding="SAME", out_dtype=jnp.float32, affine_act=True,
+                   static_act=True)
+    v_st = {"params": v["params"],
+            "act_ranges": {"min": jnp.min(x), "max": jnp.max(x)}}
+    y_st = st.apply(v_st, x)
+    np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_st))
+
+
+def test_int8_act_cal_predictor_flow():
+    """quantize='int8_act_cal': serving before calibrate() raises; after
+    calibrating on a representative batch the detections stay close to the
+    fp32 predictor's (same criteria as the dynamic int8-act test)."""
+    net, variables = _net_vars()
+    kw = dict(obj_thresh=0.1, iou_thresh=0.3, max_out=10)
+    fp32 = Predictor(net, variables, SPEC, **kw)
+    cal = Predictor(net, variables, SPEC, quantize="int8_act_cal", **kw)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+
+    with pytest.raises(RuntimeError, match="calibrate"):
+        cal.predict_image(img)
+
+    canv = rng.integers(0, 256, (4, 96, 128, 3)).astype(np.uint8)
+    hws = np.tile([96, 128], (4, 1)).astype(np.int32)
+    cal.calibrate(canv, hws)
+    assert "act_ranges" in cal.variables
+    # ranges must be real observations, not the zero placeholders
+    leaves = jax.tree.leaves(cal.variables["act_ranges"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+    a = fp32.predict_image(img)
+    b = cal.predict_image(img)
+    assert len(a.boxes) > 0
+
+    def iou(x, y):
+        ymin, xmin = max(x[0], y[0]), max(x[1], y[1])
+        ymax, xmax = min(x[2], y[2]), min(x[3], y[3])
+        inter = max(ymax - ymin, 0) * max(xmax - xmin, 0)
+        ax = (x[2] - x[0]) * (x[3] - x[1])
+        ay = (y[2] - y[0]) * (y[3] - y[1])
+        return inter / max(ax + ay - inter, 1e-9)
+
+    matched = sum(
+        any(cls == cls2 and iou(box, box2) >= 0.5 and abs(score - score2) < 0.15
+            for box2, score2, cls2 in zip(b.boxes, b.scores, b.classes))
+        for box, score, cls in zip(a.boxes, a.scores, a.classes))
+    assert matched >= 0.7 * len(a.boxes), (matched, len(a.boxes))
