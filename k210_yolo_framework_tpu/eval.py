@@ -153,15 +153,27 @@ def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
             lambda r: stage_image(read_image(str(r[0])), canvas_hw), r)
             for r in rows]
 
+    class _Staged:
+        """Completed-future stand-in so calibration can hand the already-
+        decoded first batch straight to the main loop (no double decode)."""
+
+        def __init__(self, v):
+            self._v = v
+
+        def result(self):
+            return self._v
+
     try:
-        if getattr(predictor, "quantize", None) == "int8_act_cal" \
+        pending = submit(0)
+        if n and getattr(predictor, "quantize", None) == "int8_act_cal" \
                 and "act_ranges" not in predictor.variables:
             # calibrate activation ranges on the first batch (the
             # ncc --dataset analogue) before any quantized serving
-            _, futs = submit(0)
-            canv, hws0 = zip(*(f.result() for f in futs))
+            rows0, futs0 = pending
+            staged = [f.result() for f in futs0]
+            canv, hws0 = zip(*staged)
             predictor.calibrate(np.stack(canv), np.stack(hws0))
-        pending = submit(0)
+            pending = (rows0, [_Staged(v) for v in staged])
         for start in range(0, n, batch_size):
             rows, futs = pending
             if start + batch_size < n:

@@ -100,6 +100,9 @@ def export_serving_stablehlo(predictor, batch: int = 1,
     from k210_yolo_framework_tpu.ops import letterbox as LB
     from k210_yolo_framework_tpu.ops import nms as N
 
+    # an uncalibrated int8_act_cal predictor would otherwise die deep
+    # inside jexport with an opaque flax scope error
+    predictor._require_calibrated()
     spec = predictor.spec
     canvas_hw = canvas_hw or spec.in_hw
     # For a quantized predictor the artifact keeps the INT8 kernels as its

@@ -100,7 +100,11 @@ class Predictor:
                     f"conflicting quantize modes: compute_dtype={act!r} "
                     f"implies {implied!r} but quantize={quantize!r}")
             compute_dtype = act.out_dtype
-        if quantize in ("int8_act", "int8_act_sym", "int8_act_cal"):
+            # the sentinel's own affine/static bits win (the mode strings
+            # cannot express symmetric+calibrated; the sentinel can)
+            module_dtype = Int8Act(compute_dtype, affine=act.affine,
+                                   static=act.static)
+        elif quantize in ("int8_act", "int8_act_sym", "int8_act_cal"):
             module_dtype = Int8Act(compute_dtype,
                                    affine=quantize != "int8_act_sym",
                                    static=quantize == "int8_act_cal")
@@ -126,6 +130,8 @@ class Predictor:
         self.class_softmax = class_softmax
         self.max_out = max_out
         self.compute_dtype = compute_dtype
+        self._cal_checked = False   # see _require_calibrated
+        self._cal_run = None        # cached jitted calibration forward
 
     def _materialize(self, variables):
         """Traceable: int8 QTensor kernels -> dense fp32 (inside jit)."""
@@ -146,33 +152,48 @@ class Predictor:
         import dataclasses
 
         from k210_yolo_framework_tpu.models.layers import Int8Act
-        cal_mod = self.net.module.clone(
-            dtype=Int8Act(self.compute_dtype, static=True, calibrate=True))
+        if self._cal_run is None:
+            cal_mod = self.net.module.clone(
+                dtype=Int8Act(self.compute_dtype,
+                              affine=getattr(self.net.module.dtype, "affine",
+                                             True),
+                              static=True, calibrate=True))
 
-        @jax.jit
-        def run(variables, canv, hws):
-            def one(canvas, hw):
-                img = LB.letterbox_image(canvas, hw, self.spec.in_hw,
-                                         dtype=self.compute_dtype)
-                return LB.normalize_image(img).astype(self.compute_dtype)
+            @jax.jit
+            def run(variables, canv, hws):
+                def one(canvas, hw):
+                    img = LB.letterbox_image(canvas, hw, self.spec.in_hw,
+                                             dtype=self.compute_dtype)
+                    return LB.normalize_image(img).astype(self.compute_dtype)
 
-            imgs = jax.vmap(one)(canv, hws)
-            _, upd = cal_mod.apply(variables, imgs, train=False,
-                                   mutable=["act_ranges"])
-            return upd["act_ranges"]
+                imgs = jax.vmap(one)(canv, hws)
+                _, upd = cal_mod.apply(variables, imgs, train=False,
+                                       mutable=["act_ranges"])
+                return upd["act_ranges"]
 
-        ranges = run(self.variables, jnp.asarray(canvases),
-                     jnp.asarray(img_hws))
+            self._cal_run = run
+        ranges = self._cal_run(self.variables, jnp.asarray(canvases),
+                               jnp.asarray(img_hws))
         self.variables = {**self.variables, "act_ranges": ranges}
+        self._cal_checked = False  # re-validate on next serve
         return self
 
     def _require_calibrated(self):
-        if self.quantize == "int8_act_cal" \
-                and "act_ranges" not in self.variables:
-            raise RuntimeError(
-                "quantize='int8_act_cal' serves from calibrated activation "
-                "ranges: call calibrate(canvases, img_hws) with a "
-                "representative batch first")
+        if self.quantize != "int8_act_cal" or self._cal_checked:
+            return
+        # "present" is not enough: net.init() auto-creates act_ranges as
+        # ZERO placeholders, and serving on those silently saturates every
+        # activation to garbage — treat all-zero ranges as uncalibrated
+        ranges = self.variables.get("act_ranges")
+        if ranges is not None:
+            leaves = jax.tree.leaves(ranges)
+            if leaves and any(float(jnp.abs(l).max()) > 0 for l in leaves):
+                self._cal_checked = True
+                return
+        raise RuntimeError(
+            "quantize='int8_act_cal' serves from calibrated activation "
+            "ranges: call calibrate(canvases, img_hws) with a "
+            "representative batch first")
 
     # ---- single image (per-shape compile, like a CLI tool) ---------------
 

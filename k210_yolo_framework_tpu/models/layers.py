@@ -225,9 +225,14 @@ class _Int8Conv(nn.Module):
                 return y.astype(self.out_dtype)
             xmin = jnp.minimum(rmin.value, 0.0)
             xmax = jnp.maximum(rmax.value, 0.0)
-        else:
+        elif self.affine_act:
             xmin = jnp.minimum(jnp.min(xf), 0.0)
             xmax = jnp.maximum(jnp.max(xf), 0.0)
+        else:
+            # dynamic symmetric: ONE fused abs-max reduction (two sibling
+            # min/max reduces may compile to two full activation passes)
+            amax = jnp.max(jnp.abs(xf))
+            xmin, xmax = -amax, amax
 
         if not self.affine_act:
             sx = jnp.maximum(jnp.maximum(-xmin, xmax), 1e-6) / 127.0

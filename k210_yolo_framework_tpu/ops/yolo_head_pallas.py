@@ -13,8 +13,9 @@ Layout per grid program (one image):
     on SUBLANES, the N=Σ h·w·a candidates on LANES;
   * ``geom``     [8, Np]   — per-candidate constants precomputed once from
     the YoloSpec: gx, gy, 1/gw, 1/gh, anchor_w, anchor_h, valid, pad;
-  * ``lbox``     [1, 8]    — per-image letterbox-inverse scalars
-    (off_y, off_x, sy, sx, img_h, img_w, 0, 0), from ``img_hw``;
+  * ``lbox``     [1, G, 8] — per-image letterbox-inverse scalars
+    (off_y, off_x, sy, sx, img_h, img_w, 0, 0), from ``img_hw`` (the
+    leading grid dim keeps the block mosaic-legal for any G);
   * outputs identical to nms_pallas (boxes [4, Cp, So], scores [Cp, So]).
 
 Reference math: tools/utils.py:524-547 (decode), keras_inference.py:32-72
@@ -83,7 +84,7 @@ def letterbox_inverse_params(img_hws: jnp.ndarray, in_hw) -> jnp.ndarray:
 def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
             *, n: int, classes: int, cp: int, max_out: int, iou_thresh: float,
             class_softmax: bool):
-    """G images per program (refs: preds [G, Ep, Np], lbox [G, 8],
+    """G images per program (refs: preds [G, Ep, Np], lbox [1, G, 8],
     out_boxes [G, 4, Cp, So], out_scores [G, Cp, So]).  The 30 greedy steps
     are the kernel's sequential critical path, so stacking G images' class
     rows into each step amortizes it G-fold."""
@@ -166,12 +167,14 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
     ep = _round_up(5 + cp, 8)  # entry rows must cover the padded class rows
     so = _round_up(max_out, 128)
     # Images per program: more images amortize the sequential greedy-NMS
-    # chain, but every image adds ~ep*np_ fp32 of VMEM-resident block (plus
-    # score/suppression scratch).  Scale G down as the candidate count
-    # grows so the footprint stays inside the ~16 MB scoped-VMEM limit:
-    # G*np_ <= 9216 keeps exactly the proven 2-layer envelope (G=8 at
-    # np_=1152; darknet53's 3-scale 4480 candidates get G=2).
-    G = max(1, min(8, 9216 // np_))
+    # chain, but every image adds VMEM-resident block + scratch that scales
+    # with BOTH the candidate count (np_) and the padded class count
+    # (preds block ~ep*np_, score/suppression scratch ~cp*np_ each).  Scale
+    # G down so the total footprint stays inside the ~16 MB scoped-VMEM
+    # limit: G*np_*(ep + 2*cp) bounded by the proven 2-layer VOC envelope
+    # (G=8 at np_=1152, ep=32, cp=24; darknet53's 4480 candidates get G=2,
+    # an 80-class 2-layer spec gets G=2 as well).
+    G = max(1, min(8, (8 * 1152 * (32 + 2 * 24)) // (np_ * (ep + 2 * cp))))
     bp = _round_up(bsz, G)
 
     preds_t = jnp.transpose(jnp.concatenate(flat, axis=1), (0, 2, 1))

@@ -323,3 +323,40 @@ def test_int8_act_cal_predictor_flow():
             for box2, score2, cls2 in zip(b.boxes, b.scores, b.classes))
         for box, score, cls in zip(a.boxes, a.scores, a.classes))
     assert matched >= 0.7 * len(a.boxes), (matched, len(a.boxes))
+
+
+def test_int8_act_cal_zero_placeholder_ranges_rejected():
+    """net.init() on a static-Int8Act net auto-creates act_ranges as ZERO
+    placeholders; serving on those would silently saturate everything to
+    garbage.  The guard must treat all-zero ranges as uncalibrated."""
+    from k210_yolo_framework_tpu.models import build_network
+    from k210_yolo_framework_tpu.models.layers import Int8Act
+
+    net = build_network("yolo_mobilev1", SPEC.in_hw, SPEC.nanchors,
+                        SPEC.class_num, alpha=0.25,
+                        dtype=Int8Act(static=True))
+    variables = net.init(jax.random.PRNGKey(0))   # contains zero act_ranges
+    assert "act_ranges" in variables
+    p = Predictor(net, dict(variables), SPEC, obj_thresh=0.1)
+    assert p.quantize == "int8_act_cal"
+    img = np.random.default_rng(0).integers(
+        0, 256, (96, 128, 3)).astype(np.uint8)
+    with pytest.raises(RuntimeError, match="calibrate"):
+        p.predict_image(img)
+    # after calibration the same predictor serves
+    p.calibrate(img[None], np.asarray([[96, 128]], np.int32))
+    p.predict_image(img)
+
+
+def test_int8_act_sentinel_preserves_symmetric_static():
+    """The mode strings cannot express symmetric+calibrated; an explicit
+    Int8Act(affine=False, static=True) sentinel must survive Predictor
+    construction instead of being silently flipped to affine."""
+    from k210_yolo_framework_tpu.models.layers import Int8Act
+
+    net, variables = _net_vars()
+    p = Predictor(net, dict(variables), SPEC, obj_thresh=0.1,
+                  compute_dtype=Int8Act(affine=False, static=True))
+    assert p.quantize == "int8_act_cal"
+    d = p.net.module.dtype
+    assert isinstance(d, Int8Act) and d.static and not d.affine
