@@ -1,0 +1,46 @@
+"""One-off: profile the serving program (demo config, batch 256) on the TPU.
+
+Usage: python _profile_serve.py [quantize_mode]  (default bf16 weights)
+Then distill with: python _mine_trace.py /tmp/trace_serve 4
+"""
+import sys
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import bench as B
+
+quantize = sys.argv[1] if len(sys.argv) > 1 else None
+batch = 256
+canvas_hw = (240, 320)
+
+_, pred = B._demo_predictor(quantize=quantize)
+rng = np.random.default_rng(0)
+canvases = jnp.asarray(
+    rng.integers(0, 256, (batch, *canvas_hw, 3)).astype(np.uint8))
+img_hws = jnp.asarray(np.tile(canvas_hw, (batch, 1)).astype(np.int32))
+if quantize == "int8_act_cal":
+    pred.calibrate(canvases, img_hws)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def step(canv):
+    res = pred._run_batch(pred.variables, canv, img_hws)
+    bump = (res.scores.sum() > 1e9).astype(jnp.uint8)
+    return canv + bump, res.scores.sum()
+
+
+canv, out = step(jnp.copy(canvases))
+jax.block_until_ready(out)
+for _ in range(3):
+    canv, out = step(canv)
+jax.block_until_ready(out)
+
+jax.profiler.start_trace("/tmp/trace_serve")
+for _ in range(4):
+    canv, out = step(canv)
+jax.block_until_ready(out)
+jax.profiler.stop_trace()
+print("trace written to /tmp/trace_serve")

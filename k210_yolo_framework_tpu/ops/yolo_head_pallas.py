@@ -81,19 +81,21 @@ def letterbox_inverse_params(img_hws: jnp.ndarray, in_hw) -> jnp.ndarray:
     return jnp.concatenate([offset, scale, image_shape, zeros], axis=-1)
 
 
-def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
-            *, n: int, classes: int, cp: int, max_out: int, iou_thresh: float,
-            class_softmax: bool):
-    """G images per program (refs: preds [G, Ep, Np], lbox [1, G, 8],
-    out_boxes [G, 4, Cp, So], out_scores [G, Cp, So]).  The 30 greedy steps
-    are the kernel's sequential critical path, so stacking G images' class
-    rows into each step amortizes it G-fold."""
-    g = geom_ref[:]                                   # [8, Np]
+def _decode_and_select(p, g, lb, *, n: int, classes: int, cp: int, so: int,
+                       max_out: int, iou_thresh: float, class_softmax: bool,
+                       stop_below: float):
+    """The kernel math on plain arrays: p [G, Ep, Np] raw logits, g [8, Np]
+    candidate geometry, lb [G, 8] letterbox factors -> five [G, Cp, So]
+    winner buffers.  Shared verbatim between the Pallas kernel (one grid
+    program's block) and the off-TPU pure-jnp twin (whole batch at once) —
+    the greedy steps are the sequential critical path, so stacking G
+    images' class rows into each step amortizes it G-fold; the loop
+    early-exits once every stacked row's best candidate is below
+    ``stop_below``."""
     gx, gy = g[0:1], g[1:2]
     inv_gw, inv_gh = g[2:3], g[3:4]
     aw, ah = g[4:5], g[5:6]
 
-    p = preds_ref[:]                                  # [G, Ep, Np]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p.shape[2]), 2)
     in_range = lane < n                               # [1, 1, Np]
 
@@ -104,10 +106,6 @@ def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
     bh = jnp.exp(p[:, 3:4]) * ah
 
     # letterbox inverse -> original-image pixels (keras_inference.py:32-72)
-    # lbox arrives [1, G, 8]: the leading grid dim lets the (G, 8) block
-    # satisfy mosaic's last-two-dims rule for ANY G (G<8 fails as a 2-D
-    # block when G is not a multiple of 8)
-    lb = lbox_ref[0]                                  # [G, 8]
     gsz = lb.shape[0]
 
     def col(i):                                       # [G, 1, 1]
@@ -135,24 +133,45 @@ def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
         scores = jax.nn.sigmoid(cls_logits) * conf
     scores = jnp.where(in_range & real_cls, scores, _NEG)
 
-    def store(k, m, sy0, sx0, sy1, sx1):
-        out_scores_ref[:, :, k:k + 1] = m             # [G, Cp, 1]
-        out_boxes_ref[:, 0, :, k:k + 1] = sy0
-        out_boxes_ref[:, 1, :, k:k + 1] = sx0
-        out_boxes_ref[:, 2, :, k:k + 1] = sy1
-        out_boxes_ref[:, 3, :, k:k + 1] = sx1
+    return greedy_select_loop(scores, y0, x0, y1, x1, so, max_out,
+                              iou_thresh, stop_below=stop_below)
 
-    greedy_select_loop(scores, y0, x0, y1, x1, store, max_out, iou_thresh)
+
+def _kernel(preds_ref, geom_ref, lbox_ref, out_boxes_ref, out_scores_ref,
+            **params):
+    """One grid program of G images (refs: preds [G, Ep, Np], geom [8, Np],
+    lbox [1, G, 8] — the leading grid dim keeps the (G, 8) block
+    mosaic-legal for any G — outs [G, 4, Cp, So] / [G, Cp, So])."""
+    w_s, w_y0, w_x0, w_y1, w_x1 = _decode_and_select(
+        preds_ref[:], geom_ref[:], lbox_ref[0],
+        so=out_scores_ref.shape[-1], **params)
+    out_scores_ref[:] = w_s
+    out_boxes_ref[:, 0] = w_y0
+    out_boxes_ref[:, 1] = w_x0
+    out_boxes_ref[:, 2] = w_y1
+    out_boxes_ref[:, 3] = w_x1
 
 
 def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
                      img_hws: jnp.ndarray, score_thresh: float = 0.7,
                      iou_thresh: float = 0.3, max_out: int = 30,
                      class_softmax: bool = False,
-                     interpret: bool | None = None) -> NmsResult:
+                     interpret: bool | None = None,
+                     images_per_program: int | None = None) -> NmsResult:
     """preds: per layer [B, h, w, a, 5+C] raw logits; img_hws [B, 2] i32.
 
     Output matches decode_outputs + batched_nms_pallas exactly.
+    ``images_per_program`` overrides the VMEM-envelope formula for G (the
+    number of images whose class rows share one program's greedy chain) —
+    a tuning knob; numerics are G-invariant (each image's rows are
+    independent problems).
+
+    Off-TPU (``interpret`` True, the default there) the SAME kernel math
+    (``_decode_and_select``) runs as one plain-jnp call over the whole
+    batch — Pallas interpret-mode plumbing compiles this program ~25-50x
+    slower on CPU than the math itself, and the ``pallas_call`` mosaic
+    plumbing is TPU-only anyway; the pure twin keeps every numeric line
+    shared and covered by the CPU suite.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -175,7 +194,9 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
     # (G=8 at np_=1152, ep=32, cp=24; darknet53's 4480 candidates get G=2,
     # an 80-class 2-layer spec gets G=2 as well).
     G = max(1, min(8, (8 * 1152 * (32 + 2 * 24)) // (np_ * (ep + 2 * cp))))
-    bp = _round_up(bsz, G)
+    if images_per_program is not None:
+        G = images_per_program
+    bp = bsz if interpret else _round_up(bsz, G)
 
     preds_t = jnp.transpose(jnp.concatenate(flat, axis=1), (0, 2, 1))
     preds_t = jnp.pad(preds_t.astype(jnp.float32),
@@ -184,34 +205,38 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
                    ((0, 0), (0, np_ - n)))
     lbox = letterbox_inverse_params(img_hws, spec.in_hw)        # [B, 8]
     lbox = jnp.pad(lbox, ((0, bp - bsz), (0, 0)), constant_values=1.0)
-    lbox = lbox.reshape(bp // G, G, 8)
 
-    kernel = functools.partial(_kernel, n=n, classes=classes, cp=cp,
-                               max_out=max_out, iou_thresh=iou_thresh,
-                               class_softmax=class_softmax)
-    out_b, out_s = pl.pallas_call(
-        kernel,
-        grid=(bp // G,),
-        in_specs=[
-            pl.BlockSpec((G, ep, np_), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, np_), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 8), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((G, 4, cp, so), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, cp, so), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bp, 4, cp, so), jnp.float32),
-            jax.ShapeDtypeStruct((bp, cp, so), jnp.float32),
-        ),
-        interpret=interpret,
-    )(preds_t, geom, lbox)
+    params = dict(n=n, classes=classes, cp=cp, max_out=max_out,
+                  iou_thresh=iou_thresh, class_softmax=class_softmax,
+                  stop_below=score_thresh)
+    if interpret:
+        w_s, w_y0, w_x0, w_y1, w_x1 = _decode_and_select(
+            preds_t, geom, lbox, so=so, **params)
+        out_s = w_s                                             # [B, Cp, So]
+        out_b = jnp.stack([w_y0, w_x0, w_y1, w_x1], axis=1)     # [B, 4, Cp, So]
+    else:
+        out_b, out_s = pl.pallas_call(
+            functools.partial(_kernel, **params),
+            grid=(bp // G,),
+            in_specs=[
+                pl.BlockSpec((G, ep, np_), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, np_), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, 8), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((G, 4, cp, so), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, cp, so), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bp, 4, cp, so), jnp.float32),
+                jax.ShapeDtypeStruct((bp, cp, so), jnp.float32),
+            ),
+        )(preds_t, geom, lbox.reshape(bp // G, G, 8))
 
     out_scores = out_s[:bsz, :classes, :max_out]
     out_boxes = jnp.transpose(out_b[:bsz, :, :classes, :max_out], (0, 2, 3, 1))

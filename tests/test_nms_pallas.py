@@ -88,6 +88,42 @@ def test_pallas_matches_xla_fallback(seed):
                                rtol=1e-5)
 
 
+@pytest.mark.parametrize("stop_below,case", [
+    (0.7, "sparse"),   # typical serving: exits after a few steps
+    (0.7, "empty"),    # everything sub-threshold: exits at step 0
+    (0.01, "dense"),   # eval-style low threshold: runs near-full
+])
+def test_early_exit_while_matches_unroll(stop_below, case):
+    """The TPU path's early-exit while_loop and the interpret path's static
+    unroll must agree exactly on every slot a caller keeps (score >=
+    stop_below); sub-threshold slots differ only in post-masked content."""
+    from k210_yolo_framework_tpu.ops.nms_pallas import greedy_select_loop
+
+    rng = np.random.default_rng(17)
+    n, c = 64, 4
+    xy = rng.uniform(0, 120, (n, 2))
+    # dense: big mutually-overlapping boxes so suppression dominates
+    lo, hi = (40, 80) if case == "dense" else (10, 60)
+    wh = rng.uniform(lo, hi, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.uniform(0, 0.5 if case == "empty" else 1.0,
+                         (c, n)).astype(np.float32)
+
+    y0, x0, y1, x1 = (jnp.asarray(boxes[:, i])[None, :] for i in range(4))
+    args = (jnp.asarray(scores), y0, x0, y1, x1, 128, 30, 0.3)
+    res_w = greedy_select_loop(*args, stop_below=stop_below, unroll=False)
+    res_u = greedy_select_loop(*args, stop_below=stop_below, unroll=True)
+
+    keep_w = np.asarray(res_w[0]) >= stop_below
+    keep_u = np.asarray(res_u[0]) >= stop_below
+    np.testing.assert_array_equal(keep_w, keep_u)
+    assert keep_w.any() == (case != "empty")
+    for a, b in zip(res_w, res_u):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(np.where(keep_w, a, 0),
+                                      np.where(keep_u, b, 0))
+
+
 def test_pallas_empty_input():
     boxes, scores = _make_case(7)
     scores = scores * 0.0 + 0.1  # everything below threshold
