@@ -200,9 +200,9 @@ class Predictor:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run_single(self, variables, img_u8: jnp.ndarray, img_hw: jnp.ndarray):
         variables = self._materialize(variables)
-        img = LB.letterbox_image(img_u8, img_hw, self.spec.in_hw)
-        img = LB.normalize_image(img).astype(self.compute_dtype)
-        preds = self.net.apply(variables, img[None])
+        img = LB.letterbox_image(img_u8, img_hw, self.spec.in_hw).astype(jnp.uint8)
+        inv_scale = 1.0 / jnp.maximum(jnp.max(img).astype(jnp.float32), 1e-12)
+        preds = self.net.apply(variables, img[None], input_scale=inv_scale[None])
         # same fused full-candidate-set NMS as the batch path (the XLA
         # per_class_nms top-k prefilter would silently truncate when a low
         # obj_thresh leaves >64 candidates per class, e.g. during mAP eval)
@@ -231,12 +231,18 @@ class Predictor:
         variables = self._materialize(variables)
 
         def one(canvas, hw):
-            img = LB.letterbox_image(canvas, hw, self.spec.in_hw,
-                                     dtype=self.compute_dtype)
-            return LB.normalize_image(img).astype(self.compute_dtype)
+            # uint8 letterbox store (exact: values are trunc'd integers); the
+            # reference's per-image /max normalisation (utils.py:404-405) is
+            # folded past the linear stem conv via input_scale, saving a
+            # full-resolution divide pass + the layout copy it forced.
+            return LB.letterbox_image(canvas, hw, self.spec.in_hw,
+                                      dtype=self.compute_dtype
+                                      ).astype(jnp.uint8)
 
         imgs = jax.vmap(one)(canvases_u8, img_hws)
-        preds = self.net.apply(variables, imgs)
+        inv_scale = 1.0 / jnp.maximum(
+            jnp.max(imgs, axis=(1, 2, 3)).astype(jnp.float32), 1e-12)
+        preds = self.net.apply(variables, imgs, input_scale=inv_scale)
         # decode + per-class NMS fused into one Pallas kernel
         from k210_yolo_framework_tpu.ops.yolo_head_pallas import fused_decode_nms
         return fused_decode_nms([p.astype(jnp.float32) for p in preds],

@@ -31,9 +31,11 @@ class TinyYoloBody(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, input_scale=None):
+        # input_scale: per-image normalisation folded past the linear stem conv.
         for i, f in enumerate([16, 32, 64, 128]):
-            x = DarknetConvBN(f, (3, 3), dtype=self.dtype, name=f"conv_{i}")(x, train)
+            x = DarknetConvBN(f, (3, 3), dtype=self.dtype, name=f"conv_{i}")(
+                x, train, input_scale if i == 0 else None)
             x = _maxpool(x, 2)
         x1 = DarknetConvBN(256, (3, 3), dtype=self.dtype, name="conv_4")(x, train)
 
@@ -74,8 +76,10 @@ class Darknet53(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = DarknetConvBN(32, (3, 3), dtype=self.dtype, name="stem")(x, train)
+    def __call__(self, x, train: bool = False, input_scale=None):
+        # input_scale: per-image normalisation folded past the linear stem conv.
+        x = DarknetConvBN(32, (3, 3), dtype=self.dtype, name="stem")(
+            x, train, input_scale)
         x = _ResBlockBody(64, 1, dtype=self.dtype, name="stage_1")(x, train)
         x = _ResBlockBody(128, 2, dtype=self.dtype, name="stage_2")(x, train)
         tap8 = _ResBlockBody(256, 8, dtype=self.dtype, name="stage_3")(x, train)

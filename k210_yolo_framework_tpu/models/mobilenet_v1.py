@@ -63,12 +63,13 @@ class MobileNetV1(nn.Module):
     safe_dw_grad: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, input_scale=None):
         a = self.alpha
         # Stem: 32*alpha, stride 2, LeakyReLU(0.3) (keras_mobilenet.py:216, 291-356).
+        # input_scale: per-image normalisation folded past the linear stem conv.
         x = ConvBN(features=int(32 * a), kernel=(3, 3), strides=(2, 2),
                    explicit_pad=((1, 1), (1, 1)), act=leaky_relu(0.3),
-                   dtype=self.dtype, name="stem")(x, train)
+                   dtype=self.dtype, name="stem")(x, train, input_scale)
         # Block 1: the K210 mod — 40 if alpha == 1 else 64 (line 217).
         block1_filters = 40 if a == 1.0 else 64
         x = _DWBlock(filters=int(block1_filters * a), strides=(1, 1),

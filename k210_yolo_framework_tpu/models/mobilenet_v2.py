@@ -97,12 +97,13 @@ class MobileNetV2(nn.Module):
     safe_dw_grad: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, input_scale=None):
         a = self.alpha
         # Stem: FIXED 32 filters (the K210 mod, line 313), stride 2, pad+valid.
+        # input_scale: per-image normalisation folded past the linear stem conv.
         x = ConvBN(features=32, kernel=(3, 3), strides=(2, 2),
                    explicit_pad=((1, 1), (1, 1)), act=relu6,
-                   dtype=self.dtype, name="stem", **_BN)(x, train)
+                   dtype=self.dtype, name="stem", **_BN)(x, train, input_scale)
 
         tap16 = None
         for bid, (f, s, e) in enumerate(_BLOCKS):

@@ -69,10 +69,10 @@ class YoloMobileV1(nn.Module):
     safe_dw_grad: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, input_scale=None):
         tap16, trunk = MobileNetV1(alpha=self.alpha, dtype=self.dtype,
                                    safe_dw_grad=self.safe_dw_grad,
-                                   name="backbone")(x, train)
+                                   name="backbone")(x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
         return _TwoScaleHead(out_channels=out,
                              y1_filters=128 if self.alpha > 0.8 else 192,
@@ -91,10 +91,10 @@ class YoloMobileV2(nn.Module):
     safe_dw_grad: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, input_scale=None):
         tap16, trunk = MobileNetV2(alpha=self.alpha, dtype=self.dtype,
                                    safe_dw_grad=self.safe_dw_grad,
-                                   name="backbone")(x, train)
+                                   name="backbone")(x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
         w = 128 if self.alpha > 0.7 else 192
         return _TwoScaleHead(out_channels=out, y1_filters=w, y2_filters=w,
@@ -111,8 +111,9 @@ class TinyYolo(nn.Module):
     safe_dw_grad: bool = True  # no depthwise convs here; uniform signature
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        tap16, trunk = TinyYoloBody(dtype=self.dtype, name="backbone")(x, train)
+    def __call__(self, x, train: bool = False, input_scale=None):
+        tap16, trunk = TinyYoloBody(dtype=self.dtype, name="backbone")(
+            x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
         return _TwoScaleHead(out_channels=out, y1_filters=512, y2_filters=256,
                              dtype=self.dtype, name="head")(tap16, trunk, train)
@@ -128,8 +129,9 @@ class Yolo(nn.Module):
     safe_dw_grad: bool = True  # no depthwise convs here; uniform signature
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        tap8, tap16, tap32 = Darknet53(dtype=self.dtype, name="backbone")(x, train)
+    def __call__(self, x, train: bool = False, input_scale=None):
+        tap8, tap16, tap32 = Darknet53(dtype=self.dtype, name="backbone")(
+            x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
 
         x, y = LastLayers(512, dtype=self.dtype, name="last_512")(tap32, train)

@@ -47,6 +47,23 @@ def test_full_yolo_three_scales():
     assert [o.shape for o in raw] == [(1, 3, 3, 75), (1, 6, 6, 75), (1, 12, 12, 75)]
 
 
+def test_input_scale_fold_matches_explicit_divide():
+    """Serving folds the reference's per-image /max normalisation
+    (utils.py:404-405) past the linear stem conv: apply(x, input_scale=1/s)
+    must match apply(x/s) — conv is linear, so only rounding differs."""
+    net, variables = shared.net_and_vars("yolo_mobilev1", (96, 128), 3, 20,
+                                         alpha=0.75)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (2, 96, 128, 3)).astype(np.float32)
+    s = x.reshape(2, -1).max(axis=1)
+    want = net.apply(variables, jnp.asarray(x / s[:, None, None, None]))
+    got = net.apply(variables, jnp.asarray(x.astype(np.uint8)),
+                    input_scale=jnp.asarray(1.0 / s))
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_custom_anchor_num():
     """ANCNUM=5 stresses n-layer/m-anchor generality (BASELINE.json configs)."""
     net = build_network("yolo", (96, 96), anchor_num=5, class_num=20)
