@@ -490,6 +490,10 @@ class ConvBN(nn.Module):
             # apply the reference's per-image /max normalisation
             # (utils.py:404-405) here, where it fuses into the BN epilogue
             # instead of costing a full-resolution divide pass + layout copy.
+            # The identity needs a bias-free conv ((Wx+b)*s != W(xs)+b).
+            assert not self.use_bias, \
+                "post_conv_scale requires a bias-free conv (the fold identity" \
+                " conv(x*s) == conv(x)*s does not hold past a bias)"
             s = jnp.asarray(post_conv_scale, x.dtype)
             x = x * s.reshape(s.shape + (1,) * (x.ndim - s.ndim))
         if self.bn:

@@ -131,7 +131,12 @@ def greedy_select_loop(scores, y0, x0, y1, x1, so: int,
 
     def cond(carry):
         k, _, m = carry[0], carry[1], carry[2]
-        return (k < max_out) & (jnp.max(m) >= stop)
+        # any-row (NOT jnp.max(m) >= stop): max() would let a single NaN
+        # score — e.g. a diverged checkpoint — poison the reduction and
+        # abort step 0 for EVERY row in the program; `>=` is False for NaN,
+        # so under any() a NaN row simply counts as done while healthy rows
+        # keep selecting, matching the unroll path's row-local degradation
+        return (k < max_out) & jnp.any(m >= stop)
 
     def body(carry):
         k, scores, m = carry[0], carry[1], carry[2]
@@ -186,8 +191,16 @@ def batched_nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
     score-descending within class).
     """
     bsz, nboxes, class_num = scores.shape
+    # interpret=True -> pure-jnp twin (the off-TPU default); the string
+    # "pallas" -> pl.pallas_call(interpret=True), i.e. emulate the REAL
+    # kernel plumbing (BlockSpecs, index maps, ref stores) off-TPU — too
+    # slow to compile for routine CPU tests, but tests/test_nms_pallas.py
+    # pins it against the twin on a tiny config so the plumbing is covered
+    pl_interpret = interpret == "pallas"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pl_interpret:
+        interpret = False
 
     np_ = _round_up(nboxes, 128)
     cp = _round_up(class_num, 8)
@@ -228,6 +241,7 @@ def batched_nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
                 jax.ShapeDtypeStruct((bsz, 4, cp, so), jnp.float32),
                 jax.ShapeDtypeStruct((bsz, cp, so), jnp.float32),
             ),
+            interpret=pl_interpret,
         )(boxes_t, scores_t)
 
     out_scores = out_s[:, :class_num, :max_out]                       # [B, C, M]

@@ -173,8 +173,13 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
     plumbing is TPU-only anyway; the pure twin keeps every numeric line
     shared and covered by the CPU suite.
     """
+    # interpret="pallas" emulates the real kernel plumbing off-TPU (see
+    # batched_nms_pallas) — test-only, pinned against the twin on a tiny spec
+    pl_interpret = interpret == "pallas"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pl_interpret:
+        interpret = False
     bsz = preds[0].shape[0]
     classes = spec.class_num
     e = 5 + classes
@@ -236,6 +241,7 @@ def fused_decode_nms(preds: Sequence[jnp.ndarray], spec: YoloSpec,
                 jax.ShapeDtypeStruct((bp, 4, cp, so), jnp.float32),
                 jax.ShapeDtypeStruct((bp, cp, so), jnp.float32),
             ),
+            interpret=pl_interpret,
         )(preds_t, geom, lbox.reshape(bp // G, G, 8))
 
     out_scores = out_s[:bsz, :classes, :max_out]

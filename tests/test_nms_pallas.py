@@ -124,6 +124,40 @@ def test_early_exit_while_matches_unroll(stop_below, case):
                                       np.where(keep_u, b, 0))
 
 
+def test_nan_scores_stay_row_local():
+    """A NaN score (e.g. a diverged checkpoint) must not abort the early-exit
+    loop for the OTHER rows sharing the program: `jnp.max` over the per-row
+    maxima would propagate the NaN and exit at step 0 dropping every
+    detection; the any-row condition keeps healthy rows selecting."""
+    boxes, scores = _make_case(11, n=64, c=3)
+    scores[:, 2] = np.nan                      # one poisoned class row
+    res = batched_nms_pallas(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+                             0.7, 0.45, 30)
+    ref = _greedy_reference(boxes, scores[:, :2], 0.7, 0.45, 30)
+    got_valid = np.asarray(res.valid[0])
+    got_classes = np.asarray(res.classes[0])
+    for c, kept in enumerate(ref):
+        assert (got_valid & (got_classes == c)).sum() == len(kept)
+    assert not (got_valid & (got_classes == 2)).any()  # NaN row yields nothing
+
+
+def test_pallas_interpret_plumbing_matches_twin():
+    """The real pallas_call plumbing (BlockSpecs, index maps, ref stores),
+    emulated off-TPU via interpret='pallas', must agree with the pure-jnp
+    twin the CPU suite normally runs — covers the TPU-only wiring that the
+    twin shares no code with."""
+    boxes, scores = _make_case(4, n=40, c=3)
+    b = jnp.asarray(boxes)[None]
+    s = jnp.asarray(scores)[None]
+    res_t = batched_nms_pallas(b, s, 0.7, 0.3, 30, interpret=True)
+    res_p = batched_nms_pallas(b, s, 0.7, 0.3, 30, interpret="pallas")
+    np.testing.assert_array_equal(np.asarray(res_p.valid), np.asarray(res_t.valid))
+    np.testing.assert_allclose(np.asarray(res_p.scores), np.asarray(res_t.scores),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_p.boxes), np.asarray(res_t.boxes),
+                               rtol=1e-6)
+
+
 def test_pallas_empty_input():
     boxes, scores = _make_case(7)
     scores = scores * 0.0 + 0.1  # everything below threshold

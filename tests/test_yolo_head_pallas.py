@@ -84,3 +84,26 @@ def test_fused_three_scale_adaptive_grouping():
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(res_f.boxes), np.asarray(res_t.boxes),
                                rtol=1e-3, atol=0.05)
+
+
+def test_fused_pallas_interpret_plumbing_matches_twin():
+    """interpret='pallas' emulates the REAL fused-kernel plumbing (grid over
+    G-image blocks, lbox [1, G, 8] reshape, BlockSpec index maps) off-TPU and
+    must agree with the pure-jnp twin — covers the wiring the twin shares no
+    code with, including the G-padding path (B=3 not a multiple of G)."""
+    spec = _spec(classes=3)
+    rng = np.random.default_rng(9)
+    B = 3
+    preds = [jnp.asarray(rng.normal(0, 2, (B, h, w, 3, 5 + spec.class_num))
+                         .astype(np.float32)) for h, w in spec.out_hws]
+    img_hws = jnp.asarray(rng.integers(100, 512, (B, 2)).astype(np.int32))
+
+    res_t = fused_decode_nms(preds, spec, img_hws, 0.7, 0.3, 30,
+                             interpret=True)
+    res_p = fused_decode_nms(preds, spec, img_hws, 0.7, 0.3, 30,
+                             interpret="pallas", images_per_program=2)
+    np.testing.assert_array_equal(np.asarray(res_p.valid), np.asarray(res_t.valid))
+    np.testing.assert_allclose(np.asarray(res_p.scores), np.asarray(res_t.scores),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_p.boxes), np.asarray(res_t.boxes),
+                               rtol=1e-5, atol=1e-4)
