@@ -440,6 +440,14 @@ class ConvBN(nn.Module):
             pad = "VALID"
         if self.depthwise:
             assert not self.use_bias, "depthwise path is bias-free in this zoo"
+            # Measured dead end (round 3): a calibrated QDQ pair here (int8
+            # STORAGE of the dw input, wide compute — the KPU stores uint8
+            # between every layer) regressed int8_act_cal serving 26.1k ->
+            # 19.4k imgs/sec: TPU conv fusions take epilogues but not lhs
+            # prologues, so the dequantized wide operand materialises in conv
+            # layout anyway and the QDQ only ADDS a full-resolution pass.
+            # int8 inter-layer storage needs a conv that CONSUMES int8
+            # (the dense _Int8Conv path) — not a wide dw conv.
             x = DepthwiseConv(
                 kernel=self.kernel,
                 strides=self.strides,
