@@ -61,6 +61,13 @@ SERVE_BATCH = 256
 TRAIN_BATCH = 64
 
 
+def _staging_canvas_hw():
+    """The production staging-canvas size, single-sourced from the pipeline
+    (data/pipeline.py:CANVAS_HW) so bench and pipeline can never drift."""
+    from k210_yolo_framework_tpu.data.pipeline import CANVAS_HW
+    return CANVAS_HW
+
+
 def _demo_spec():
     """VOC demo spec for the selected model: 2 output layers, or 3 (strides
     32/16/8, half-scale third anchor layer) for the darknet53 'yolo'."""
@@ -130,18 +137,25 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
 
     # Latency: the reference's device story is a LIVE camera loop
     # (yolo3_frame_test_public main.c:294-328) — throughput alone hides it.
-    # Per-dispatch latency = submit -> result-on-host, timed synchronously.
+    # Two numbers per shape, because on this rig they differ ~10x:
+    #   *_host_rtt_ms   submit -> result-on-host, timed synchronously. On a
+    #                   tunneled host this is dominated by the host<->device
+    #                   round trip, NOT chip time (round-3 published this
+    #                   undecomposed and it read as device latency).
+    #   *_device_ms     per-dispatch device time from a dependency-chained
+    #                   loop with ONE fetch at the end: enqueue overlaps
+    #                   execution, so the mean isolates on-chip time.
     lat = _latency_ms(step, jnp.copy(canvases))
     out = {"metric": metric, "value": round(v, 1), "unit": "imgs/sec",
            "vs_baseline": round(v / BASE_SERVE, 4),
            "batch": batch,
-           "batch_latency_ms_p50": lat["p50"],
-           "batch_latency_ms_p99": lat["p99"]}
+           "batch_host_rtt_ms_p50": lat["p50"],
+           "batch_host_rtt_ms_p99": lat["p99"],
+           "batch_device_ms": round(best / iters * 1e3, 3)}
 
     if metric == "e2e_infer_imgs_per_sec_per_chip":
         # single-frame (batch-1) program: the camera-loop latency floor
-        canv1 = jnp.asarray(
-            rng.integers(0, 256, (1, *canvas_hw, 3)).astype(np.uint8))
+        canv1_np = rng.integers(0, 256, (1, *canvas_hw, 3)).astype(np.uint8)
         hw1 = jnp.asarray(np.asarray([canvas_hw], np.int32))
 
         @partial(jax.jit, donate_argnums=(0,))
@@ -150,10 +164,30 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
             bump = (res.scores.sum() > 1e9).astype(jnp.uint8)
             return canv + bump, res.scores.sum()
 
-        lat1 = _latency_ms(step1, canv1)
-        out["single_frame_latency_ms_p50"] = lat1["p50"]
-        out["single_frame_latency_ms_p99"] = lat1["p99"]
+        # fresh device buffer per measurement: step1 donates its input
+        lat1 = _latency_ms(step1, jnp.asarray(canv1_np))
+        out["single_frame_host_rtt_ms_p50"] = lat1["p50"]
+        out["single_frame_host_rtt_ms_p99"] = lat1["p99"]
+        out["single_frame_device_ms"] = _device_ms(step1, jnp.asarray(canv1_np))
     return out
+
+
+def _device_ms(step, canv, iters=200):
+    """Per-dispatch DEVICE time for a donated (canv)->(canv, scalar) program:
+    a dependency-chained loop with a single host fetch at the end. Host
+    enqueue overlaps device execution, so total/iters converges to on-chip
+    time per dispatch (the camera-loop rate a co-located host would see),
+    stripped of the tunnel round trip that dominates the _host_rtt_ fields."""
+    canv, out = step(canv)          # compile for this buffer layout
+    _ = float(out)
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        for _j in range(iters):
+            canv, out = step(canv)
+        _ = float(out)              # one completion barrier for the chain
+        best = min(best, time.perf_counter() - t0)
+    return round(best / iters * 1e3, 3)
 
 
 def _latency_ms(step, canv, n=40):
@@ -378,7 +412,8 @@ def bench_train_e2e():
                                    preprocess=pp)
 
     rng = np.random.default_rng(0)
-    canv = jnp.asarray(rng.integers(0, 256, (batch, 512, 512, 3)).astype(np.uint8))
+    canv = jnp.asarray(rng.integers(
+        0, 256, (batch, *_staging_canvas_hw(), 3)).astype(np.uint8))
     hws = jnp.asarray(np.tile([360, 480], (batch, 1)).astype(np.int32))
     boxes = jnp.asarray(np.concatenate([
         rng.integers(0, 20, (batch, 64, 1)).astype(np.float32),
@@ -433,7 +468,8 @@ def main():
     runs = {
         "serve": lambda: [bench_serve()],
         "serve512": lambda: [bench_serve(
-            (512, 512), metric="e2e_infer_512canvas_imgs_per_sec_per_chip")],
+            _staging_canvas_hw(),
+            metric="e2e_infer_512canvas_imgs_per_sec_per_chip")],
         "serve_int8": lambda: [bench_serve(
             metric="e2e_infer_int8w_imgs_per_sec_per_chip", quantize="int8")],
         "serve_int8act": lambda: [bench_serve(
@@ -450,7 +486,7 @@ def main():
         "train": lambda: [bench_train()],
         "train_e2e": lambda: [bench_train_e2e()],
         "all": lambda: [bench_serve(),
-                        bench_serve((512, 512),
+                        bench_serve(_staging_canvas_hw(),
                                     metric="e2e_infer_512canvas_imgs_per_sec_per_chip"),
                         bench_serve(
                             metric="e2e_infer_int8w_imgs_per_sec_per_chip",

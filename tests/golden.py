@@ -60,7 +60,11 @@ def xywh_to_all(grid_xy, grid_wh, out_hw, anchors_l):
 def xywh_to_grid(all_xy, all_wh, out_hw, anchors_l):
     """(tools/utils.py:550-572)."""
     grid_xy = all_xy * np.array(out_hw, np.float64)[::-1] - xy_offset(out_hw)
-    grid_wh = np.log(all_wh / anchors_l)
+    # log(0) -> -inf is intentional here: the reference guards it AFTER the
+    # transform with K.switch (tools/utils.py:762-764) and so do our callers;
+    # silence the expected RuntimeWarning so real warnings stay visible.
+    with np.errstate(divide="ignore"):
+        grid_wh = np.log(all_wh / anchors_l)
     return grid_xy, grid_wh
 
 
