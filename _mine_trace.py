@@ -52,7 +52,12 @@ for cat, t in sorted(cat_time.items(), key=lambda kv: -kv[1]):
     ms = t / nsteps
     bw = cat_bytes[cat] / (t / 1e3) / 1e9 if t else 0
     print(f"  {cat:45s} {ms:7.2f}  {100 * t / total:5.1f}%  {bw:6.0f} GB/s")
-print("\ntop 12 single ops (ms/step):")
-for name, t in sorted(op_time.items(), key=lambda kv: -kv[1])[:12]:
+print("\ntop 20 single ops (ms/step, modeled MB/firing, achieved GB/s, GFLOP/s):")
+for name, t in sorted(op_time.items(), key=lambda kv: -kv[1])[:20]:
     cat, b, fl = op_meta[name]
-    print(f"  {name[:60]:60s} {t / nsteps:6.2f}  [{cat}]")
+    b, fl = float(b or 0), float(fl or 0)
+    ms = t / nsteps  # one firing per step for uniquely-named fusions
+    bw = b / (ms / 1e3) / 1e9 if ms else 0
+    fs = fl / (ms / 1e3) / 1e9 if ms else 0
+    print(f"  {name[:52]:52s} {ms:6.2f} {b / 1e6:8.1f}MB "
+          f"{bw:6.0f}GB/s {fs:8.0f}GF/s [{cat}]")

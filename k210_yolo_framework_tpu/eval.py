@@ -15,7 +15,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["voc_ap", "DetectionRecord", "match_detections",
-           "match_detections_sweep", "collect_detections", "evaluate_map"]
+           "match_detections_sweep", "collect_detections", "evaluate_map",
+           "split_calibration_rows", "calibrate_from_rows"]
 
 
 def voc_ap(recall: np.ndarray, precision: np.ndarray,
@@ -136,7 +137,14 @@ def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
     match at any IoU — see match_detections / match_detections_sweep).
 
     Host decode/staging runs in a thread pool one batch ahead of the device,
-    so JPEG decode overlaps inference instead of idling the chip."""
+    so JPEG decode overlaps inference instead of idling the chip.
+
+    A ``quantize='int8_act_cal'`` predictor must be calibrated BEFORE eval
+    from a source disjoint from ``ann_list`` (``calibrate_from_rows`` /
+    ``split_calibration_rows``) — calibrating on the eval batches themselves
+    would leak evaluation data into the quantization ranges, unlike nncase's
+    separate ``ncc --dataset`` representative set (reference README.md:
+    152-154)."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -153,27 +161,8 @@ def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
             lambda r: stage_image(read_image(str(r[0])), canvas_hw), r)
             for r in rows]
 
-    class _Staged:
-        """Completed-future stand-in so calibration can hand the already-
-        decoded first batch straight to the main loop (no double decode)."""
-
-        def __init__(self, v):
-            self._v = v
-
-        def result(self):
-            return self._v
-
     try:
         pending = submit(0)
-        if n and getattr(predictor, "quantize", None) == "int8_act_cal" \
-                and "act_ranges" not in predictor.variables:
-            # calibrate activation ranges on the first batch (the
-            # ncc --dataset analogue) before any quantized serving
-            rows0, futs0 = pending
-            staged = [f.result() for f in futs0]
-            canv, hws0 = zip(*staged)
-            predictor.calibrate(np.stack(canv), np.stack(hws0))
-            pending = (rows0, [_Staged(v) for v in staged])
         for start in range(0, n, batch_size):
             rows, futs = pending
             if start + batch_size < n:
@@ -202,3 +191,43 @@ def collect_detections(predictor, ann_list: np.ndarray, class_num: int,
         return record
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
+
+
+def split_calibration_rows(ann_list: np.ndarray,
+                           calib_list: Optional[np.ndarray] = None,
+                           calib_size: int = 32
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pick activation-calibration rows DISJOINT from the eval rows.
+
+    With an explicit ``calib_list`` (the ``ncc --dataset`` analogue,
+    reference README.md:152-154 — e.g. the train split), eval keeps the
+    whole ``ann_list`` and calibration draws ``calib_size`` rows from the
+    head of ``calib_list``.  Without one, the LAST ``calib_size`` rows of
+    ``ann_list`` become the calibration set and are EXCLUDED from eval, so
+    the quantization ranges never see evaluation data.
+    """
+    if calib_size <= 0:
+        raise ValueError(f"calib_size must be positive, got {calib_size}")
+    if calib_list is not None:
+        if len(calib_list) == 0:
+            raise ValueError("empty calibration list")
+        return ann_list, calib_list[:calib_size]
+    if len(ann_list) <= calib_size:
+        raise ValueError(
+            f"cannot hold out {calib_size} calibration rows from a "
+            f"{len(ann_list)}-row eval list; pass a separate calibration "
+            "list (e.g. the train split) or lower calib_size")
+    return ann_list[:-calib_size], ann_list[-calib_size:]
+
+
+def calibrate_from_rows(predictor, rows: np.ndarray,
+                        canvas_hw: Tuple[int, int] = (512, 512)) -> None:
+    """Stage ``rows`` (ann-list format) and record activation ranges on the
+    predictor (``quantize='int8_act_cal'``) — one unquantized forward over
+    the representative set, same staging as serving."""
+    from k210_yolo_framework_tpu.data.annotations import read_image
+    from k210_yolo_framework_tpu.data.pipeline import stage_image
+
+    staged = [stage_image(read_image(str(r[0])), canvas_hw) for r in rows]
+    canvases, hws = zip(*staged)
+    predictor.calibrate(np.stack(canvases), np.stack(hws))

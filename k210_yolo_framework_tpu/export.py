@@ -146,8 +146,14 @@ def export_serving_stablehlo(predictor, batch: int = 1,
 def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
            batch: int = 1, tflite: bool = True,
            tflite_int8: bool = False,
-           rep_images: Optional[np.ndarray] = None) -> Dict[str, str]:
-    """Write all export artifacts; returns {artifact: path}."""
+           rep_images: Optional[np.ndarray] = None,
+           model_def: Optional[str] = None) -> Dict[str, str]:
+    """Write all export artifacts; returns {artifact: path}.
+
+    With ``model_def`` given, also writes ``yolo_model_reference.h5`` — a
+    Keras-layout weights file the REFERENCE's own scripts can load with
+    stock ``load_weights`` (port.save_reference_h5), closing the
+    ours->reference interchange direction."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     arts: Dict[str, str] = {}
@@ -155,6 +161,12 @@ def freeze(net: YoloNet, variables: Dict, spec: YoloSpec, out_dir: str,
     hlo_path = out / "yolo_model.stablehlo"
     hlo_path.write_bytes(export_stablehlo(net, variables, batch))
     arts["stablehlo"] = str(hlo_path)
+
+    if model_def is not None:
+        from k210_yolo_framework_tpu.port import save_reference_h5
+        ref_path = out / "yolo_model_reference.h5"
+        save_reference_h5(str(ref_path), variables, model_def)
+        arts["reference_h5"] = str(ref_path)
 
     from k210_yolo_framework_tpu.inference import Predictor
     serving_path = out / "yolo_serving.stablehlo"

@@ -253,17 +253,39 @@ class Predictor:
     # ---- multi-chip data-parallel serving --------------------------------
 
     def make_sharded_runner(self, mesh):
-        """Batch-sharded serving over a device mesh (pure DP: every chip runs
-        the full fused pipeline — letterbox/forward/decode/NMS — on its batch
-        shard; no collectives needed).  Returns a jitted
+        """Multi-chip serving over a device mesh.  Returns a jitted
         ``(canvases [B,...], img_hws [B,2]) -> NmsResult`` with B divisible
-        by the mesh's data axis; params are replicated once here.
+        by the mesh's data axis.
+
+        On a pure-DP mesh every chip runs the full fused pipeline —
+        letterbox/forward/decode/NMS — on its batch shard via ``shard_map``
+        (no collectives needed; params replicated once here).  On a mesh
+        with a model (TP) or space (SP) axis the program instead runs under
+        GSPMD: wide conv kernels are channel-sharded over ``model`` /
+        image H over ``space`` (the same rules as the sharded train step,
+        parallel.mesh.param_shardings), and XLA inserts the collectives.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from k210_yolo_framework_tpu.parallel.mesh import DATA_AXIS
+        from k210_yolo_framework_tpu.parallel.mesh import (
+            DATA_AXIS, MODEL_AXIS, SPACE_AXIS, batch_sharding, image_sharding,
+            param_shardings)
 
         self._require_calibrated()
+        pure_dp = (mesh.shape.get(MODEL_AXIS, 1) == 1
+                   and mesh.shape.get(SPACE_AXIS, 1) == 1)
+        if not pure_dp:
+            shardings = {
+                coll: (param_shardings(tree, mesh) if coll == "params"
+                       else jax.tree.map(
+                           lambda _: NamedSharding(mesh, P()), tree))
+                for coll, tree in self.variables.items()}
+            variables = jax.device_put(self.variables, shardings)
+            return jax.jit(
+                lambda canvases, img_hws: self._run_batch(
+                    variables, canvases, img_hws),
+                in_shardings=(image_sharding(mesh), batch_sharding(mesh)))
+
         variables = jax.device_put(self.variables, NamedSharding(mesh, P()))
 
         def local(canvases, img_hws):

@@ -34,6 +34,7 @@ __all__ = [
     "tiny_yolo_layer_map",
     "yolo_layer_map",
     "port_reference_h5",
+    "save_reference_h5",
 ]
 
 _BN_WEIGHTS = [("gamma:0", "params", "scale"), ("beta:0", "params", "bias"),
@@ -274,6 +275,98 @@ def _set_leaf(tree: Dict, path: str, value: np.ndarray, policy: str = "exact"):
             raise ValueError(f"{path}: reference weight shape {value.shape} "
                              f"!= ours {tuple(leaf.shape)}")
     node[keys[-1]] = value.astype(leaf.dtype)
+
+
+def _get_leaf(tree: Dict, path: str) -> np.ndarray:
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return np.asarray(node)
+
+
+def _keras_layer_order(model_def: str, names: List[str]) -> List[str]:
+    """Reorder creation-order layer names into Keras's ``model.layers``
+    order (weighted layers only).
+
+    Keras's functional ``load_weights`` (non-``by_name``) pairs the file's
+    layers with ``model.layers`` BY POSITION, and ``model.layers`` is sorted
+    by graph depth (deepest first; creation order breaks ties), not by
+    creation order — so the multi-branch heads deviate: the upsample branch
+    is deeper than the y1 branch and sorts before it, and in the 3-scale
+    head the three branch/out stacks interleave by depth.  These
+    permutations were derived from genuine tf.keras builds of all four
+    graphs and are pinned by tests/test_reference_export.py (a wrong order
+    fails the stock-load shape check loudly).
+    """
+    if model_def in ("yolo_mobilev1", "yolo_mobilev2", "tiny_yolo"):
+        # creation order (_head_rows): y1c, y1bn, y1out, upc, upbn, y2c,
+        # y2bn, y2out -> depth order: up branch, 3x3 convs, BNs, out convs
+        y1c, y1bn, y1out, upc, upbn, y2c, y2bn, y2out = names[-8:]
+        return names[:-8] + [upc, upbn, y1c, y2c, y1bn, y2bn, y1out, y2out]
+    if model_def == "yolo":
+        body, tail = names[:104], names[104:]
+        t512, br512, y1, up1 = tail[0:10], tail[10:12], tail[12], tail[13:15]
+        t256, br256, y2, up2 = tail[15:25], tail[25:27], tail[27], tail[28:30]
+        t128, br128, y3 = tail[30:40], tail[40:42], tail[42]
+        return (body + t512 + up1 + t256 + up2 + t128
+                + [br512[0], br256[0], br128[0],
+                   br512[1], br256[1], br128[1], y1, y2, y3])
+    raise KeyError(model_def)
+
+
+def save_reference_h5(h5_path: str, variables: Dict[str, Any],
+                      model_def: str) -> None:
+    """Write our variables as a REFERENCE-layout Keras ``.h5`` — the inverse
+    of :func:`port_reference_h5`, closing the interchange loop: a model
+    trained here becomes loadable by the reference's own scripts via stock
+    ``load_weights`` (/root/reference/keras_train.py:52-57,
+    keras_inference.py:77-81) and feeds its TFLite/nncase toolchain
+    (keras_freeze.py:15-23).
+
+    The file uses the Keras ``save_weights`` HDF5 flavor: a root
+    ``layer_names`` attribute in the model's layer-creation order, one group
+    per layer with a ``weight_names`` attribute, datasets at
+    ``<layer>/<layer>/<weight>:0`` (TF1-Keras names; Keras 3's legacy-h5
+    loader matches weights positionally so the era suffix is cosmetic).
+    Keras's plain (non-``by_name``) loader pairs the file's weighted layers
+    with the model's weighted layers BY POSITION — ``layer_names`` is
+    therefore written in Keras's depth-sorted ``model.layers`` order
+    (:func:`_keras_layer_order`), not creation order.  Depthwise kernels
+    transpose back to Keras's [kh, kw, C, 1] (``_dw_transpose`` is an
+    involution); everything is written float32.
+    """
+    import h5py
+
+    if model_def not in _LAYER_MAPS:
+        raise KeyError(f"no reference layer map for {model_def!r}; "
+                       f"have {sorted(_LAYER_MAPS)}")
+    table = _LAYER_MAPS[model_def]()
+
+    import jax
+    variables = jax.tree.map(np.asarray, jax.device_get(variables))
+
+    with h5py.File(h5_path, "w") as f:
+        f.attrs["layer_names"] = np.array(
+            [n.encode("utf8") for n in
+             _keras_layer_order(model_def, [r[0] for r in table])])
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.2.4-tf"
+        for layer, module_path, weights in table:
+            g = f.create_group(layer)
+            names = []
+            for spec in weights:
+                wname, coll, leaf = spec[0], spec[1], spec[2]
+                transform = spec[3] if len(spec) > 3 else None
+                arr = _get_leaf(variables[coll], f"{module_path}/{leaf}")
+                if transform is _dw_transpose:
+                    arr = _dw_transpose(arr)  # involution: back to Keras layout
+                elif transform is not None:
+                    raise NotImplementedError(
+                        f"no inverse registered for transform {transform}")
+                full = f"{layer}/{wname}"
+                g.create_dataset(full, data=np.asarray(arr, np.float32))
+                names.append(full.encode("utf8"))
+            g.attrs["weight_names"] = np.array(names)
 
 
 def port_reference_h5(h5_path: str, model_def: str, template: Dict[str, Any],

@@ -19,8 +19,9 @@ def main(args):
 
     from k210_yolo_framework_tpu.config import TrainConfig, YoloSpec
     from k210_yolo_framework_tpu.data.annotations import load_ann_list
-    from k210_yolo_framework_tpu.eval import collect_detections, \
-        match_detections, match_detections_sweep
+    from k210_yolo_framework_tpu.eval import calibrate_from_rows, \
+        collect_detections, match_detections, match_detections_sweep, \
+        split_calibration_rows
     from k210_yolo_framework_tpu.inference import Predictor, VOC_LABELS
     from k210_yolo_framework_tpu.models import build_network
     from k210_yolo_framework_tpu.training import checkpoint as CK
@@ -45,6 +46,16 @@ def main(args):
                      if str(args.bf16).lower() == "true" else jnp.float32,
                      quantize=quantize_mode(args.quantize))
     ann = load_ann_list(f"data/{args.train_set}_img_ann.npy")
+    if quantize_mode(args.quantize) == "int8_act_cal":
+        # calibration rows must be disjoint from the eval rows (nncase
+        # calibrates on a separate `ncc --dataset`; calibrating on the eval
+        # set leaks evaluation data into the quantization ranges)
+        calib = load_ann_list(args.calib_list) if args.calib_list else None
+        ann, calib_rows = split_calibration_rows(ann, calib, args.calib_size)
+        src = args.calib_list or f"last {len(calib_rows)} rows (held out)"
+        print(NOTE, f"int8_act_cal: calibrating on {len(calib_rows)} rows "
+                    f"from {src}")
+        calibrate_from_rows(pred, calib_rows)
     if args.limit:
         ann = ann[:args.limit]
 
@@ -97,6 +108,12 @@ def parse_args(argv):
                              "int8_act: also int8 MXU conv compute (affine "
                              "act scales; int8_act_sym = symmetric)")
     parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--calib_list", type=str, default=None,
+                        help="ann npy with int8_act_cal calibration images "
+                             "(the `ncc --dataset` analogue, e.g. the train "
+                             "split); default holds out the eval list's last "
+                             "--calib_size rows instead")
+    parser.add_argument("--calib_size", type=int, default=32)
     return parser.parse_args(argv)
 
 

@@ -65,7 +65,9 @@ def main(args):
                   tflite=str(args.tflite).lower() == "true",
                   tflite_int8=str(args.tflite_int8).lower() == "true"
                   or rep_images is not None,
-                  rep_images=rep_images)
+                  rep_images=rep_images,
+                  model_def=args.model_def
+                  if str(args.reference_h5).lower() == "true" else None)
     print(NOTE, f"export artifacts: {arts}")
 
 
@@ -83,6 +85,11 @@ def parse_arguments(argv):
                         help="write yolo_model.tflite (reference freeze product)")
     parser.add_argument("--tflite_int8", type=str, default="False",
                         help="also write a dynamic-range int8 .tflite")
+    parser.add_argument("--reference_h5", type=str, default="True",
+                        help="also write yolo_model_reference.h5 — a Keras-"
+                             "layout weights file the reference's own "
+                             "scripts load with stock load_weights "
+                             "(reference keras_train.py:52-57)")
     parser.add_argument("--tflite_dataset", type=str, default=None,
                         help="directory of calibration images -> FULL int8 "
                              ".tflite (the reference's `ncc --dataset` step, "

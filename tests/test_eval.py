@@ -115,3 +115,61 @@ def test_evaluate_map_with_gt_oracle(tmp_path):
 
     res = run()
     np.testing.assert_allclose(res["map"], 1.0)
+
+
+def test_split_calibration_rows_holdout_is_disjoint():
+    """No calib list -> the holdout comes off the eval tail, never overlaps."""
+    from k210_yolo_framework_tpu.eval import split_calibration_rows
+
+    ann = np.array([[f"img_{i}.jpg", None, None] for i in range(10)],
+                   dtype=object)
+    ev, cal = split_calibration_rows(ann, calib_size=3)
+    assert [r[0] for r in cal] == ["img_7.jpg", "img_8.jpg", "img_9.jpg"]
+    assert {r[0] for r in ev}.isdisjoint({r[0] for r in cal})
+    assert len(ev) + len(cal) == len(ann)
+
+
+def test_split_calibration_rows_explicit_list_keeps_eval_whole():
+    from k210_yolo_framework_tpu.eval import split_calibration_rows
+
+    ann = np.array([[f"e{i}", None, None] for i in range(4)], dtype=object)
+    cal_src = np.array([[f"c{i}", None, None] for i in range(50)], dtype=object)
+    ev, cal = split_calibration_rows(ann, cal_src, calib_size=8)
+    assert len(ev) == 4 and len(cal) == 8
+    assert all(str(r[0]).startswith("c") for r in cal)
+
+
+def test_split_calibration_rows_rejects_tiny_eval_list():
+    import pytest
+
+    from k210_yolo_framework_tpu.eval import split_calibration_rows
+
+    ann = np.array([[f"e{i}", None, None] for i in range(3)], dtype=object)
+    with pytest.raises(ValueError, match="hold out"):
+        split_calibration_rows(ann, calib_size=8)
+
+
+def test_collect_detections_never_autocalibrates(tmp_path):
+    """An UNcalibrated int8_act_cal predictor must raise out of eval (the
+    round-3 behavior silently calibrated on the first EVAL batch — a
+    calibration-data leak; nncase uses a separate `ncc --dataset`)."""
+    import pytest
+
+    from k210_yolo_framework_tpu.config import YoloSpec
+    from k210_yolo_framework_tpu.data.pipeline import synthetic_ann_list
+    from k210_yolo_framework_tpu.eval import collect_detections
+    from k210_yolo_framework_tpu.inference import Predictor
+    from k210_yolo_framework_tpu.models import build_network
+
+    import jax
+
+    ann = synthetic_ann_list(str(tmp_path), n=4, class_num=3, seed=0)
+    anchors = np.array([[[0.5, 0.5], [0.4, 0.3], [0.2, 0.2]],
+                        [[0.3, 0.3], [0.2, 0.2], [0.1, 0.1]]], np.float32)
+    spec = YoloSpec.create((96, 96), ((3, 3), (6, 6)), 3, anchors)
+    net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
+                        spec.class_num, alpha=0.5)
+    variables = net.init(jax.random.PRNGKey(0))
+    pred = Predictor(net, variables, spec, quantize="int8_act_cal")
+    with pytest.raises(RuntimeError, match="calibrate"):
+        collect_detections(pred, ann, 3, batch_size=4)
