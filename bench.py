@@ -27,7 +27,7 @@ Default mode prints ONE json line — the BASELINE.md north-star metric —
                       C++ loader when built), host->device transfer and
                       the 512x512 canvas — proves the host keeps the chip
                       fed.
-  train               chained train-step loop (batch 64, bf16 conv compute,
+  train               chained train-step loop (batch 128, bf16 conv compute,
                       fp32 loss/params): imgs/sec, ms/step and an MFU
                       estimate from XLA's own FLOP count.
   train_e2e           train step PLUS the full on-device preprocessing
@@ -57,8 +57,14 @@ BASE_SERVE = 10000.0  # north-star target, imgs/sec/chip (BASELINE.md)
 # --depth_multiplier / --batch_size measure any zoo model.
 MODEL_DEF = "yolo_mobilev1"
 ALPHA = 0.75
-SERVE_BATCH = 256
-TRAIN_BATCH = 64
+# Round-4 batch sweep (BASELINE.md "serving batch landscape"): 128 — one
+# image per vector lane — is uniquely optimal for serving (30.5k vs 27.3k
+# at 256; 96/160 collapse to 17k/13k) and for the bare train step (6.4k
+# vs 5.9k at 256).  The FUSED train+preprocess program still prefers 256:
+# the augment/encode stages are latency-ish at small batch.
+SERVE_BATCH = 128
+TRAIN_BATCH = 128
+TRAIN_E2E_BATCH = 256
 
 
 def _staging_canvas_hw():
@@ -399,7 +405,7 @@ def bench_train_e2e():
     from k210_yolo_framework_tpu.models import build_network
     from k210_yolo_framework_tpu.training import train as T
 
-    batch = TRAIN_BATCH
+    batch = TRAIN_E2E_BATCH
     spec = _demo_spec()
     cfg = TrainConfig(batch_size=batch)
     net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
@@ -446,7 +452,7 @@ def bench_train_e2e():
 
 
 def main():
-    global MODEL_DEF, ALPHA, SERVE_BATCH, TRAIN_BATCH
+    global MODEL_DEF, ALPHA, SERVE_BATCH, TRAIN_BATCH, TRAIN_E2E_BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
                     choices=["serve", "serve512", "serve_int8",
@@ -459,12 +465,13 @@ def main():
                          "(darknet53, 3 layers)")
     ap.add_argument("--depth_multiplier", type=float, default=ALPHA)
     ap.add_argument("--batch_size", type=int, default=0,
-                    help="override batch (serve default 256, train 64)")
+                    help="override batch (serve/train default 128, "
+                         "train_e2e 256)")
     args = ap.parse_args()
     mode = args.mode
     MODEL_DEF, ALPHA = args.model_def, args.depth_multiplier
     if args.batch_size:
-        SERVE_BATCH = TRAIN_BATCH = args.batch_size
+        SERVE_BATCH = TRAIN_BATCH = TRAIN_E2E_BATCH = args.batch_size
     runs = {
         "serve": lambda: [bench_serve()],
         "serve512": lambda: [bench_serve(

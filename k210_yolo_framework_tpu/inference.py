@@ -235,6 +235,11 @@ class Predictor:
             # reference's per-image /max normalisation (utils.py:404-405) is
             # folded past the linear stem conv via input_scale, saving a
             # full-resolution divide pass + the layout copy it forced.
+            # (Round-4 re-probes of this seam: a bf16 store loses 9% e2e
+            # (24.8k) and a batch-last letterbox loses 1.5% (26.9k) — the
+            # u8 relayout copy into the conv's batch-in-lanes tiling is ugly
+            # in the profile (0.66 ms @ 167 GB/s) but both alternatives that
+            # remove it cost more elsewhere.)
             return LB.letterbox_image(canvas, hw, self.spec.in_hw,
                                       dtype=self.compute_dtype
                                       ).astype(jnp.uint8)
