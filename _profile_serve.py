@@ -1,6 +1,8 @@
-"""One-off: profile the serving program (demo config, batch 256) on the TPU.
+"""One-off: profile the serving program on the TPU.
 
-Usage: python _profile_serve.py [quantize_mode]  (default bf16 weights)
+Usage: python _profile_serve.py [quantize_mode] [batch] [model_def] [alpha]
+       (defaults: bf16 weights, batch 128, the demo yolo_mobilev1-0.75;
+        pass 'none' for quantize_mode to skip it positionally)
 Then distill with: python _mine_trace.py /tmp/trace_serve 4
 """
 import sys
@@ -13,7 +15,13 @@ import jax.numpy as jnp
 import bench as B
 
 quantize = sys.argv[1] if len(sys.argv) > 1 else None
-batch = 256
+if quantize in ("none", ""):
+    quantize = None
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+if len(sys.argv) > 3:
+    B.MODEL_DEF = sys.argv[3]
+if len(sys.argv) > 4:
+    B.ALPHA = float(sys.argv[4])
 canvas_hw = (240, 320)
 
 _, pred = B._demo_predictor(quantize=quantize)
