@@ -1,4 +1,9 @@
-"""One-off: profile the fused train step (demo config, batch 64) on the TPU."""
+"""One-off: profile the fused train step (demo config) on the TPU.
+
+Usage: python _profile_r3.py [batch]   (default 64; trace -> /tmp/trace_r3b)
+"""
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,7 +13,7 @@ from k210_yolo_framework_tpu.data import pipeline as PL
 from k210_yolo_framework_tpu.models import build_network
 from k210_yolo_framework_tpu.training import train as T
 
-batch = 64
+batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 spec = voc_spec()
 cfg = TrainConfig(batch_size=batch)
 net = build_network("yolo_mobilev1", spec.in_hw, spec.nanchors,
