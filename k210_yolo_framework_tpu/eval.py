@@ -205,13 +205,33 @@ def split_calibration_rows(ann_list: np.ndarray,
     head of ``calib_list``.  Without one, the LAST ``calib_size`` rows of
     ``ann_list`` become the calibration set and are EXCLUDED from eval, so
     the quantization ranges never see evaluation data.
+
+    Two silent-leak guards on the explicit-list path: a ``calib_list``
+    shorter than ``calib_size`` raises (it would silently calibrate on fewer
+    rows), and any image-path overlap between the drawn calibration rows and
+    the eval rows raises — passing the eval list itself as the calibration
+    list would otherwise reintroduce the exact leak this split exists to
+    prevent.
     """
     if calib_size <= 0:
         raise ValueError(f"calib_size must be positive, got {calib_size}")
     if calib_list is not None:
-        if len(calib_list) == 0:
-            raise ValueError("empty calibration list")
-        return ann_list, calib_list[:calib_size]
+        if len(calib_list) < calib_size:
+            raise ValueError(
+                f"calibration list holds {len(calib_list)} rows but "
+                f"calib_size={calib_size}; pass a longer list or lower "
+                "calib_size (silently calibrating on fewer rows than "
+                "requested hides a data problem)")
+        drawn = calib_list[:calib_size]
+        eval_paths = {str(r[0]) for r in ann_list}
+        shared = [str(r[0]) for r in drawn if str(r[0]) in eval_paths]
+        if shared:
+            raise ValueError(
+                f"{len(shared)} calibration row(s) also appear in the eval "
+                f"list (e.g. {shared[0]}) — calibrating on eval images "
+                "leaks evaluation data into the quantization ranges; use a "
+                "disjoint list (the train split)")
+        return ann_list, drawn
     if len(ann_list) <= calib_size:
         raise ValueError(
             f"cannot hold out {calib_size} calibration rows from a "

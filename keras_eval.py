@@ -55,9 +55,17 @@ def main(args):
         src = args.calib_list or f"last {len(calib_rows)} rows (held out)"
         print(NOTE, f"int8_act_cal: calibrating on {len(calib_rows)} rows "
                     f"from {src}")
+        if not args.calib_list:
+            # the default tail holdout shrinks the eval set, so cross-mode
+            # mAP comparisons on the same file are NOT on identical rows —
+            # pass --calib_list (train split) to keep the eval set whole
+            print(NOTE, f"eval set is {len(ann)} rows after the holdout "
+                        "(other quantize modes eval the full list; use "
+                        "--calib_list to keep eval sets identical)")
         calibrate_from_rows(pred, calib_rows)
     if args.limit:
         ann = ann[:args.limit]
+    print(INFO, f"evaluating {len(ann)} rows")
 
     record = collect_detections(pred, ann, args.class_num,
                                 batch_size=args.batch_size,

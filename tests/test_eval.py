@@ -139,6 +139,37 @@ def test_split_calibration_rows_explicit_list_keeps_eval_whole():
     assert all(str(r[0]).startswith("c") for r in cal)
 
 
+def test_split_calibration_rows_rejects_short_calib_list():
+    """An explicit list shorter than calib_size must raise, not silently
+    calibrate on fewer rows (round-4 ADVICE item)."""
+    import pytest
+
+    from k210_yolo_framework_tpu.eval import split_calibration_rows
+
+    ann = np.array([[f"e{i}", None, None] for i in range(4)], dtype=object)
+    cal = np.array([[f"c{i}", None, None] for i in range(5)], dtype=object)
+    with pytest.raises(ValueError, match="calib_size"):
+        split_calibration_rows(ann, cal, calib_size=8)
+
+
+def test_split_calibration_rows_rejects_eval_overlap():
+    """Passing rows that overlap the eval list (worst case: the eval list
+    itself) must raise — it would silently reintroduce the calibration
+    data leak (round-4 ADVICE item)."""
+    import pytest
+
+    from k210_yolo_framework_tpu.eval import split_calibration_rows
+
+    ann = np.array([[f"e{i}", None, None] for i in range(10)], dtype=object)
+    with pytest.raises(ValueError, match="leak"):
+        split_calibration_rows(ann, ann, calib_size=4)
+    # one shared path is enough to raise
+    mixed = np.array([["c0", None, None], ["e3", None, None],
+                      ["c1", None, None], ["c2", None, None]], dtype=object)
+    with pytest.raises(ValueError, match="leak"):
+        split_calibration_rows(ann, mixed, calib_size=4)
+
+
 def test_split_calibration_rows_rejects_tiny_eval_list():
     import pytest
 

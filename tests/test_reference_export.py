@@ -154,3 +154,70 @@ def test_keras_loads_export_yolo(tmp_path):
     _export_and_load_in_keras(
         "yolo", (96, 96), tmp_path,
         build_oracle=lambda: tf_oracle.build_yolo((96, 96)))
+
+
+# ------------------------------------------- literal TFLite toolchain hand-off
+
+@pytest.mark.slow
+def test_tflite_toolchain_handoff(tmp_path):
+    """The last inch of the interchange story: run the reference's OWN
+    device-freeze flow — ``.h5 -> tf.keras graph -> TFLiteConverter ->
+    interpreter`` (/root/reference/keras_freeze.py:15-23, README.md:144-154)
+    — on a graph loaded from OUR exported reference-layout ``.h5``, and
+    compare the resulting interpreter outputs against our own ``export_tflite``
+    artifact AND our jax forward.
+
+    Passing means a reference user can take a model trained here through
+    their unchanged TFLite/nncase pipeline and get the same network."""
+    tf = pytest.importorskip("tensorflow")
+    from tests import tf_oracle
+
+    from k210_yolo_framework_tpu.export import export_tflite
+
+    in_hw, alpha = (96, 128), 0.75
+    net = build_network("yolo_mobilev1", in_hw, 3, 20, alpha=alpha)
+    variables = _trim(jax.device_get(net.init(jax.random.PRNGKey(0))))
+    variables = _randomize_variables(variables, seed=31)
+
+    # (1) the reference flow on OUR h5
+    h5 = str(tmp_path / "ours_ref.h5")
+    save_reference_h5(h5, variables, "yolo_mobilev1")
+    tf_model = tf_oracle.build_mobilev1(in_hw, alpha=alpha)
+    tf_model.load_weights(h5)   # stock positional load (keras_train.py:52-57)
+    conv = tf.lite.TFLiteConverter.from_keras_model(tf_model)
+    ref_flow_tfl = conv.convert()
+
+    # (2) our own export path on the same weights
+    ours_tfl = export_tflite(net, variables, batch=1)
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0.0, 1.0, (1, in_hw[0], in_hw[1], 3)).astype(np.float32)
+    jax_outs = [np.asarray(o) for o in
+                net.apply_raw(variables, jnp.asarray(x), train=False)]
+
+    def run_interpreter(flatbuffer):
+        it = tf.lite.Interpreter(model_content=flatbuffer)
+        it.allocate_tensors()
+        (inp,) = it.get_input_details()
+        it.set_tensor(inp["index"], x)
+        it.invoke()
+        outs = [it.get_tensor(d["index"]) for d in it.get_output_details()]
+        # interpreter output order is not guaranteed: match by shape
+        # (the two output layers have distinct grid sizes)
+        return sorted(outs, key=lambda o: o.shape[1])
+
+    ref_outs = run_interpreter(ref_flow_tfl)
+    our_outs = run_interpreter(ours_tfl)
+    want = sorted(jax_outs, key=lambda o: o.shape[1])
+    assert len(ref_outs) == len(our_outs) == len(want)
+    for i, (r, o, w) in enumerate(zip(ref_outs, our_outs, want)):
+        assert r.shape == o.shape == w.shape, (i, r.shape, o.shape, w.shape)
+        scale = max(1.0, float(np.abs(w).max()))
+        np.testing.assert_allclose(r, o, atol=1e-3 * scale, rtol=1e-3,
+                                   err_msg=f"ref-flow vs our tflite, out {i}")
+        np.testing.assert_allclose(r, w, atol=1e-3 * scale, rtol=1e-3,
+                                   err_msg=f"ref-flow tflite vs jax, out {i}")
+    sizes = {"reference_h5_kb": len(open(h5, "rb").read()) // 1024,
+             "ref_flow_tflite_kb": len(ref_flow_tfl) // 1024,
+             "our_tflite_kb": len(ours_tfl) // 1024}
+    print(f"\nartifact sizes: {sizes}")

@@ -45,32 +45,7 @@ def test_sharded_runner_matches_local():
                                rtol=1e-4, atol=1e-3)
 
 
-def _iou(x, y):
-    ymin, xmin = max(x[0], y[0]), max(x[1], y[1])
-    ymax, xmax = min(x[2], y[2]), min(x[3], y[3])
-    inter = max(ymax - ymin, 0) * max(xmax - xmin, 0)
-    ax = (x[2] - x[0]) * (x[3] - x[1])
-    ay = (y[2] - y[0]) * (y[3] - y[1])
-    return inter / max(ax + ay - inter, 1e-9)
-
-
-def _match_fraction(a, b, iou_min=0.5, score_tol=0.05):
-    """Greedy class+IoU+score detection-set matching, a -> b."""
-    va, vb = np.asarray(a.valid), np.asarray(b.valid)
-    total = matched = 0
-    for i in range(va.shape[0]):
-        rows_b = list(zip(np.asarray(b.boxes)[i, vb[i]],
-                          np.asarray(b.scores)[i, vb[i]],
-                          np.asarray(b.classes)[i, vb[i]]))
-        for box, score, cls in zip(np.asarray(a.boxes)[i, va[i]],
-                                   np.asarray(a.scores)[i, va[i]],
-                                   np.asarray(a.classes)[i, va[i]]):
-            total += 1
-            matched += any(
-                cls == c2 and _iou(box, b2) >= iou_min
-                and abs(score - s2) < score_tol
-                for b2, s2, c2 in rows_b)
-    return matched / max(total, 1), total
+from k210_yolo_framework_tpu.utils.detmatch import match_stats  # noqa: E402
 
 
 @pytest.mark.parametrize(
@@ -86,8 +61,10 @@ def test_model_axis_sharded_serving_matches_local(dp, mp, sp):
     channel/space sharding splits the NEXT conv's cin reduction into a psum,
     whose fp32 reordering moves activations at the ulp level — a
     score-tied/IoU-borderline NMS decision can then legitimately flip
-    (measured: 2 of 1200 boxes on this seed).  Detection SETS must agree to
-    >= 99% both directions, scores/valid near-exactly."""
+    (measured: 2 of 1200 boxes on this seed).  The assert pins the MEASURED
+    bound — at most 0.5% flipped detections either direction (6 of 1200; a
+    real TP-sharding regression flipping 1% fails) — and score agreement to
+    1e-3 on the geometrically matched set."""
     anchors = np.array([[[0.7, 0.6], [0.5, 0.5], [0.4, 0.3]],
                         [[0.3, 0.3], [0.2, 0.2], [0.15, 0.15]]], np.float32)
     spec = YoloSpec.create((96, 96), ((3, 3), (6, 6)), 5, anchors)
@@ -118,11 +95,14 @@ def test_model_axis_sharded_serving_matches_local(dp, mp, sp):
     np.testing.assert_allclose(np.asarray(local.scores),
                                np.asarray(sharded.scores),
                                rtol=1e-4, atol=1e-5)
-    f_ab, n_a = _match_fraction(local, sharded, score_tol=1e-3)
-    f_ba, n_b = _match_fraction(sharded, local, score_tol=1e-3)
+    un_ab, n_a, ds_ab = match_stats(local, sharded)
+    un_ba, n_b, ds_ba = match_stats(sharded, local)
     assert n_a > 0
-    assert f_ab >= 0.99, (f_ab, n_a)
-    assert f_ba >= 0.99, (f_ba, n_b)
+    # measured flip rate is 2/1200 on this seed; allow <= 0.5%, never more
+    assert un_ab <= max(1, int(np.ceil(0.005 * n_a))), (un_ab, n_a)
+    assert un_ba <= max(1, int(np.ceil(0.005 * n_b))), (un_ba, n_b)
+    # matched pairs must agree in score (the flip is geometric, not numeric)
+    assert max(ds_ab, ds_ba) <= 1e-3, (ds_ab, ds_ba)
 
 
 @pytest.mark.slow
@@ -152,8 +132,8 @@ def test_sharded_int8_act_runner_matches_local():
     runner = pred.make_sharded_runner(make_mesh(dp=8, mp=1))
     sharded = runner(canv, hws)
 
-    f_ab, n_a = _match_fraction(local, sharded)
-    f_ba, n_b = _match_fraction(sharded, local)
+    un_ab, n_a, _ = match_stats(local, sharded, score_tol=0.05)
+    un_ba, n_b, _ = match_stats(sharded, local, score_tol=0.05)
     assert n_a > 0
-    assert f_ab >= 0.9, (f_ab, n_a)
-    assert f_ba >= 0.9, (f_ba, n_b)
+    assert un_ab / n_a <= 0.1, (un_ab, n_a)
+    assert un_ba / max(n_b, 1) <= 0.1, (un_ba, n_b)
