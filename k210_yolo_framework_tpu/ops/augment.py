@@ -194,6 +194,95 @@ def _shear_y(img: jnp.ndarray, offs: jnp.ndarray, bound: int) -> jnp.ndarray:
     return _shear_radix(img, offs, bound, axis=0)
 
 
+def _shear_conv_batch(imgs: jnp.ndarray, offs: jnp.ndarray, bound: int,
+                      axis: int) -> jnp.ndarray:
+    """Every line of a BATCH through its two-tap shear in ONE depthwise 1-D
+    convolution — a round-5 MEASURED NEGATIVE, kept per the repo's
+    documented-experiments policy (see CLAUDE.md); the production path is
+    the per-image slice-sum shear (:func:`_shear_x`/:func:`_shear_y`).
+
+    ``imgs`` [N, H, W, C]; ``axis=2`` shifts along W with ``offs`` [N, H]
+    (x-shear, the batched :func:`_shear_x_direct`); ``axis=1`` shifts along H
+    with ``offs`` [N, W] (batched :func:`_shear_y_direct`).
+
+    Same math: the direct form is a ~2*bound-term weighted sum of padded
+    slices, where only the two taps bracketing each line's offset are
+    nonzero.  Expressed as a per-line-filter (= depthwise,
+    ``feature_group_count`` = batch*lines*channels) VALID convolution, the
+    frame is read ONCE and the tap sum runs in-register; zero-weight taps
+    contribute exact zeros, so the result is the same two-tap lerp (fp32
+    accumulation via ``preferred_element_type``, one rounding instead of
+    two — exact parity with the slice-sum path in fp32, pinned by
+    tests/test_augment.py).
+
+    Measured (v5e, `_probe_aug.py stages`, augment stage of the training
+    preprocess, rotation slice = batch/3): slice-sum 2.48 ms @batch 64 /
+    5.44 ms @128; this conv form 6.60 ms @64 / 5.81 ms @128.  XLA:TPU lowers
+    the ~36k-group 1-D depthwise conv to VPU code that is 2.7x SLOWER at
+    batch 64 and no better at 128 (and it compiles for minutes).  The
+    select-chain slice-sum, wasteful as its O(bound) HBM re-reads look, is
+    the faster program on this hardware."""
+    n, h, w, c = imgs.shape
+    taps = 2 * bound + 2
+    k = jnp.floor(offs)
+    f = (offs - k).astype(imgs.dtype)
+    ki = k.astype(jnp.int32)
+    # tap j covers integer offset kk = bound + 1 - j (matching the direct
+    # slice start bound+1-kk): out[x] = sum_j t[j] * padded[x + j]
+    kks = bound + 1 - jnp.arange(taps, dtype=jnp.int32)
+    w_taps = ((ki[..., None] == kks).astype(imgs.dtype) * (1 - f[..., None])
+              + (ki[..., None] == kks - 1).astype(imgs.dtype) * f[..., None])
+
+    if axis == 2:
+        x = imgs.transpose(0, 1, 3, 2)             # [N, H, C, W]
+        span = w
+    elif axis == 1:
+        x = imgs.transpose(0, 2, 3, 1)             # [N, W, C, H]
+        span = h
+    else:
+        raise ValueError(f"axis must be 1 or 2, got {axis}")
+    lines = x.shape[1]
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (bound + 1, bound + 1)))
+    g = n * lines * c
+    lhs = x.reshape(1, g, span + taps)
+    rhs = jnp.broadcast_to(w_taps[:, :, None, :],
+                           (n, lines, c, taps)).reshape(g, 1, taps)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=g,
+        preferred_element_type=jnp.float32)
+    out = out[..., :span].astype(imgs.dtype).reshape(n, lines, c, span)
+    if axis == 2:
+        return out.transpose(0, 1, 3, 2)
+    return out.transpose(0, 3, 1, 2)
+
+
+def _rotate_3shear_batch(imgs: jnp.ndarray, thetas: jnp.ndarray) -> jnp.ndarray:
+    """Batched :func:`_rotate_3shear` (per-image ``thetas`` [N]) built on the
+    one-conv-per-pass shear — identical pad/crop frame math.  Measured
+    negative, unwired (see :func:`_shear_conv_batch`); exact-parity twin of
+    the production path, pinned by tests/test_augment.py."""
+    import math
+    n, h, w, _c = imgs.shape
+    amax = math.tan(math.radians(MAX_ROT_DEG) / 2.0)
+    bmax = math.sin(math.radians(MAX_ROT_DEG))
+    px = int(math.ceil(amax * (h / 2.0))) + 2
+    py = int(math.ceil(bmax * (w / 2.0 + px))) + 2
+    hp, wp = h + 2 * py, w + 2 * px
+    work = jnp.pad(imgs, ((0, 0), (py, py), (px, px), (0, 0)))
+
+    a = -jnp.tan(thetas / 2.0)
+    b = jnp.sin(thetas)
+    xb = int(math.ceil(amax * (hp / 2.0))) + 1
+    yb = int(math.ceil(bmax * (wp / 2.0))) + 1
+    ys = jnp.arange(hp, dtype=jnp.float32) + 0.5 - (py + h / 2.0)
+    xs = jnp.arange(wp, dtype=jnp.float32) + 0.5 - (px + w / 2.0)
+    out = _shear_conv_batch(work, a[:, None] * ys[None, :], xb, axis=2)
+    out = _shear_conv_batch(out, b[:, None] * xs[None, :], yb, axis=1)
+    out = _shear_conv_batch(out, a[:, None] * ys[None, :], xb, axis=2)
+    return out[:, py:py + h, px:px + w, :]
+
+
 def _rotate_3shear(img: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     """Rotate about the image center by ``theta`` (radians, |theta| <=
     MAX_ROT_DEG) via Sx(a) . Sy(b) . Sx(a), a = -tan(theta/2), b = sin

@@ -142,22 +142,37 @@ def make_train_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
 
 
 def make_fused_train_step(net: YoloNet, spec: YoloSpec, cfg: TrainConfig,
-                          train_epoch_step: int, preprocess, mesh=None):
+                          train_epoch_step: int, preprocess, mesh=None,
+                          barrier: bool = True):
     """ONE jitted program: on-device preprocess (letterbox + augment + /max +
     label encode) -> forward/backward/update.
 
     (state, canvases u8, img_hws, boxes, valid, key) -> (state, logs).
 
     Matches the reference's single-graph step (keras_train.py:96-98) — two
-    separate dispatches hide preprocess latency poorly and forbid XLA from
-    scheduling the VPU-heavy preprocess against the MXU-heavy convs.
+    separate dispatches hide preprocess latency poorly.
     ``preprocess`` is a (possibly jitted) ``make_preprocess_fn`` product;
     jit-of-jit inlines, so passing the jitted one costs nothing.
+
+    ``barrier`` inserts ``lax.optimization_barrier`` between preprocess and
+    the step: still ONE program (one dispatch), but XLA may not fuse or
+    co-layout across the seam.  This resolved the round-4 anomaly where the
+    fused program's preprocess share DOUBLED per image at exactly the
+    lane-width batch (fused - bare: 1.98 ms @64 but 9.41 ms @128, vs
+    2.8/5.9 ms standalone preprocess — the augment select-chains were being
+    scheduled/laid out against the conv stack's batch-128 tiling).  Measured
+    on v5e (round 5, `_probe_fused.py`, ms/step without -> with barrier):
+    batch 64 16.84 -> 16.69, batch 128 29.33 -> **25.58** (+15%, 5.0k
+    imgs/sec), batch 256 55.66 -> 53.91.  With the barrier the fused step
+    equals bare + standalone-preprocess at every batch and inherits the
+    bare step's batch-128 optimum.  Default ON.
     """
     step_fn = make_step_fn(net, spec, cfg, train_epoch_step)
 
     def fused(state, canvases, img_hws, boxes, valid, key):
         images, labels = preprocess(canvases, img_hws, boxes, valid, key)
+        if barrier:
+            images, labels = jax.lax.optimization_barrier((images, labels))
         if mesh is not None:
             images = jax.lax.with_sharding_constraint(
                 images, pmesh.image_sharding(mesh))

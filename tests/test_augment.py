@@ -297,3 +297,26 @@ def test_augment_batch_stratified_slices_apply_distinct_branches():
             kinds.add("affine")
     # slices are flip(2)/rot(2)/tr(2): at least one affine output must exist
     assert "affine" in kinds
+
+
+def test_conv_shear_twin_matches_production_exactly():
+    """The depthwise-conv batched shear (a round-5 measured-negative kept
+    with its numbers, see `_shear_conv_batch` docstring) must stay an EXACT
+    fp32 twin of the production slice-sum path — both the single passes and
+    the full 3-shear rotation frame math."""
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (3, 12, 16, 2)).astype(np.float32))
+    offsx = jnp.asarray(rng.uniform(-2.9, 2.9, (3, 12)).astype(np.float32))
+    offsy = jnp.asarray(rng.uniform(-2.9, 2.9, (3, 16)).astype(np.float32))
+    wantx = jax.vmap(lambda im, of: A._shear_x_direct(im, of, 3))(imgs, offsx)
+    gotx = A._shear_conv_batch(imgs, offsx, 3, axis=2)
+    np.testing.assert_array_equal(np.asarray(wantx), np.asarray(gotx))
+    wanty = jax.vmap(lambda im, of: A._shear_y_direct(im, of, 3))(imgs, offsy)
+    goty = A._shear_conv_batch(imgs, offsy, 3, axis=1)
+    np.testing.assert_array_equal(np.asarray(wanty), np.asarray(goty))
+
+    imgs2 = jnp.asarray(rng.uniform(0, 255, (2, 24, 32, 3)).astype(np.float32))
+    thetas = jnp.asarray(np.deg2rad(rng.uniform(-10, 10, 2)).astype(np.float32))
+    want = jax.vmap(A._rotate_3shear)(imgs2, thetas)
+    got = A._rotate_3shear_batch(imgs2, thetas)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
