@@ -74,6 +74,7 @@ ALPHA = 0.75
 SERVE_BATCH = 128
 TRAIN_BATCH = 128
 TRAIN_E2E_BATCH = 128
+STEM_MODE = "default"  # --stem_mode: "patches" (letterbox emits im2col) etc.
 
 
 def _staging_canvas_hw():
@@ -108,8 +109,10 @@ def _demo_predictor(quantize=None):
     net = build_network(MODEL_DEF, spec.in_hw, spec.nanchors,
                         spec.class_num, alpha=ALPHA)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0))
+    stem = STEM_MODE if quantize in (None, "int8") else "default"
     pred = Predictor(net, variables, spec, obj_thresh=0.7, iou_thresh=0.3,
-                     compute_dtype=jnp.bfloat16, quantize=quantize)
+                     compute_dtype=jnp.bfloat16, quantize=quantize,
+                     stem_mode=stem)
     return spec, pred
 
 
@@ -174,10 +177,14 @@ def bench_serve(canvas_hw=(240, 320), metric="e2e_infer_imgs_per_sec_per_chip",
     canv, out = step(jnp.copy(canvases))  # warmup/compile
     jax.block_until_ready(out)
     if dense:
-        # prove the worst case is real: every image's detection list is full
+        # prove the worst case is real: every image's PER-CLASS detection
+        # list is full (max_out is per class, as in region_layer.c's
+        # per-class NMS), so every greedy loop ran to max depth
         res = pred._run_batch(pred.variables, jnp.copy(canvases), img_hws)
         n_det = int(np.asarray(res.valid).sum())
-        assert n_det == batch * pred.max_out, (n_det, batch * pred.max_out)
+        spec = _demo_spec()
+        full = batch * pred.max_out * spec.class_num
+        assert n_det == full, (n_det, full)
 
     # best of 3 rounds: dispatch noise only inflates times, so min is the
     # faithful steady-state estimate
@@ -510,7 +517,8 @@ def bench_train_e2e():
 
 
 def main():
-    global MODEL_DEF, ALPHA, SERVE_BATCH, TRAIN_BATCH, TRAIN_E2E_BATCH
+    global MODEL_DEF, ALPHA, SERVE_BATCH, TRAIN_BATCH, TRAIN_E2E_BATCH, \
+        STEM_MODE
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="serve",
                     choices=["serve", "serve_dual", "serve_dense",
@@ -526,9 +534,15 @@ def main():
     ap.add_argument("--batch_size", type=int, default=0,
                     help="override batch (serve/train default 128, "
                          "train_e2e 256)")
+    ap.add_argument("--stem_mode", default="default",
+                    choices=["default", "patches", "nativeconv"],
+                    help="serving stem variant (inference.Predictor): "
+                         "'patches' = letterbox emits the stem's im2col "
+                         "patches directly (mobilenet builders only)")
     args = ap.parse_args()
     mode = args.mode
     MODEL_DEF, ALPHA = args.model_def, args.depth_multiplier
+    STEM_MODE = args.stem_mode
     if args.batch_size:
         SERVE_BATCH = TRAIN_BATCH = TRAIN_E2E_BATCH = args.batch_size
     runs = {

@@ -54,7 +54,8 @@ class Predictor:
     def __init__(self, net: YoloNet, variables, spec: YoloSpec,
                  obj_thresh: float = 0.7, iou_thresh: float = 0.3,
                  class_softmax: bool = False, max_out: int = 30,
-                 compute_dtype=None, quantize: Optional[str] = None):
+                 compute_dtype=None, quantize: Optional[str] = None,
+                 stem_mode: str = "default"):
         """``compute_dtype`` sets the conv-stack compute dtype by rebuilding
         the module tree (builders thread ``dtype`` down); params stay fp32
         master copies, decode/NMS stay fp32.  ``None`` keeps the net's own
@@ -110,6 +111,26 @@ class Predictor:
                                    static=quantize == "int8_act_cal")
         else:
             module_dtype = compute_dtype
+        if stem_mode not in ("default", "patches", "nativeconv"):
+            raise ValueError(f"unknown stem_mode {stem_mode!r}")
+        if stem_mode != "default":
+            # "patches" feeds the stem conv pre-extracted im2col patches that
+            # the letterbox einsum emits DIRECTLY (no NHWC canvas, no u8
+            # relayout copy — BASELINE.md batch-128 profile's #2 cost);
+            # gated to the batch serving path of the stride-2-stem mobilenet
+            # builders, fp32/bf16/int8-weight serving only (the int8-act
+            # modes keep the canvas for their own quantize chain).
+            if not hasattr(net.module, "stem_mode"):
+                raise ValueError(
+                    f"stem_mode={stem_mode!r} needs a builder with a stride-2 "
+                    f"stem (yolo_mobilev1/yolo_mobilev2); "
+                    f"{type(net.module).__name__} has none")
+            if stem_mode == "patches" and quantize not in (None, "int8"):
+                raise ValueError(
+                    "stem_mode='patches' supports quantize=None or 'int8'")
+            net = dataclasses.replace(
+                net, module=net.module.clone(stem_mode=stem_mode))
+        self.stem_mode = stem_mode
         if getattr(net.module, "dtype", None) != module_dtype:
             net = dataclasses.replace(
                 net, module=net.module.clone(dtype=module_dtype))
@@ -197,10 +218,22 @@ class Predictor:
 
     # ---- single image (per-shape compile, like a CLI tool) ---------------
 
+    def _letterbox_for_stem(self, img_or_canvas, hw, dtype):
+        """One image -> the net's input under the active stem_mode: uint8
+        letterboxed canvas, or the stem's im2col patches (whose max equals
+        the canvas max — every canvas pixel appears in some patch — so the
+        folded /max normalisation is unchanged)."""
+        if self.stem_mode == "patches":
+            return LB.letterbox_stem_patches(
+                img_or_canvas, hw, self.spec.in_hw,
+                dtype=dtype).astype(jnp.uint8)
+        return LB.letterbox_image(img_or_canvas, hw, self.spec.in_hw,
+                                  dtype=dtype).astype(jnp.uint8)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _run_single(self, variables, img_u8: jnp.ndarray, img_hw: jnp.ndarray):
         variables = self._materialize(variables)
-        img = LB.letterbox_image(img_u8, img_hw, self.spec.in_hw).astype(jnp.uint8)
+        img = self._letterbox_for_stem(img_u8, img_hw, jnp.float32)
         inv_scale = 1.0 / jnp.maximum(jnp.max(img).astype(jnp.float32), 1e-12)
         preds = self.net.apply(variables, img[None], input_scale=inv_scale[None])
         # same fused full-candidate-set NMS as the batch path (the XLA
@@ -239,14 +272,15 @@ class Predictor:
             # (24.8k) and a batch-last letterbox loses 1.5% (26.9k) — the
             # u8 relayout copy into the conv's batch-in-lanes tiling is ugly
             # in the profile (0.66 ms @ 167 GB/s) but both alternatives that
-            # remove it cost more elsewhere.)
-            return LB.letterbox_image(canvas, hw, self.spec.in_hw,
-                                      dtype=self.compute_dtype
-                                      ).astype(jnp.uint8)
+            # remove it cost more elsewhere.  stem_mode='patches' is the
+            # round-5 producer-side attack: the letterbox einsum emits the
+            # stem's im2col patches directly, so the canvas never exists.)
+            return self._letterbox_for_stem(canvas, hw, self.compute_dtype)
 
         imgs = jax.vmap(one)(canvases_u8, img_hws)
         inv_scale = 1.0 / jnp.maximum(
-            jnp.max(imgs, axis=(1, 2, 3)).astype(jnp.float32), 1e-12)
+            jnp.max(imgs, axis=tuple(range(1, imgs.ndim))).astype(jnp.float32),
+            1e-12)
         preds = self.net.apply(variables, imgs, input_scale=inv_scale)
         # decode + per-class NMS fused into one Pallas kernel
         from k210_yolo_framework_tpu.ops.yolo_head_pallas import fused_decode_nms

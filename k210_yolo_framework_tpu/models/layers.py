@@ -187,6 +187,36 @@ class _StemConv(nn.Module):
         return patches @ k2.astype(self.dtype)
 
 
+class _StemPatchesConv(nn.Module):
+    """Stem conv over PRE-EXTRACTED im2col patches.
+
+    Consumes ``[N, Ho, kh, Wo, kw, C]`` produced by
+    ``ops.letterbox.letterbox_stem_patches`` (the resample einsum emits the
+    patches directly, so the NHWC canvas — and the 0.54 ms/batch relayout
+    copy it forced into the stem conv's tiling, BASELINE.md batch-128
+    profile — never exists in the program).  Pure dot_general; param
+    name/shape match nn.Conv exactly so checkpoints are interchangeable
+    with the default stem.
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel
+        assert x.ndim == 6 and x.shape[2] == kh and x.shape[4] == kw, (
+            f"stem_mode='patches' expects [N, Ho, {kh}, Wo, {kw}, C] patches "
+            f"from letterbox_stem_patches, got {x.shape}")
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, cin, self.features))
+        return jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())))
+
+
 class _Int8Conv(nn.Module):
     """Dense conv computed int8 x int8 -> int32 on the MXU.
 
@@ -421,6 +451,17 @@ class ConvBN(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    # Serving-path stem variants (see PARITY.md / BASELINE.md batch-128
+    # profile).  "default": cin<=4 convs go through _StemConv (im2col +
+    # matmul), EXCEPT the measured-good eval/stride-2/batch-128 family where
+    # plain nn.Conv wins ~1.5% (see _native_stem_wins — checkpoint-identical:
+    # both store the same hwio "kernel" param).  "patches": the input x is
+    # ALREADY the im2col patches tensor
+    # [N, Ho, kh, Wo, kw, C] from letterbox_stem_patches — the letterbox
+    # einsum emitted it directly and the relayout copy never happens.
+    # "nativeconv": force nn.Conv even for cin<=4 (probe of the pathological
+    # small-cin conv lowering that motivated _StemConv).
+    stem_mode: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -434,6 +475,13 @@ class ConvBN(nn.Module):
                 "Int8Act is a serving-only compute mode; build the training "
                 "net with a float dtype (train with bf16/fp32, serve with "
                 "quantize='int8_act')")
+        if self.stem_mode == "patches":
+            # x is the pre-extracted patches tensor; padding already encoded
+            # in the letterbox weight matrices (zero columns)
+            assert not (self.depthwise or self.use_bias) and int8_act is None
+            x = _StemPatchesConv(features=self.features, kernel=self.kernel,
+                                 dtype=dtype, name="conv")(x)
+            return self._epilogue(x, train, post_conv_scale)
         pad = _pad_for(self.strides, self.explicit_pad)
         if self.explicit_pad is not None:
             x = jnp.pad(x, ((0, 0),) + tuple(self.explicit_pad) + ((0, 0),))
@@ -456,7 +504,9 @@ class ConvBN(nn.Module):
                 safe_grad=self.safe_dw_grad,
                 name="conv",
             )(x)
-        elif x.shape[-1] <= 4 and not self.use_bias:
+        elif (x.shape[-1] <= 4 and not self.use_bias
+              and self.stem_mode != "nativeconv"
+              and not self._native_stem_wins(x, train)):
             if pad == "SAME":  # stems in this zoo are explicit-pad/VALID
                 ph = ((self.kernel[0] - 1) // 2, self.kernel[0] // 2)
                 pw = ((self.kernel[1] - 1) // 2, self.kernel[1] // 2)
@@ -492,6 +542,29 @@ class ConvBN(nn.Module):
                 dtype=dtype,
                 name="conv",
             )(x)
+        return self._epilogue(x, train, post_conv_scale)
+
+    def _native_stem_wins(self, x, train) -> bool:
+        """Trace-time autotune of the cin<=4 stem dispatch (round 5).
+
+        ``_StemConv`` exists because nn.Conv's small-cin lowering once
+        measured ~700 ms/op at batch 256 on this rig.  A round-5 re-probe
+        shows that pathology is GONE on the current runtime, and at the
+        lane-width serving batch nn.Conv now BEATS _StemConv: back-to-back
+        reps measured device 4.12/4.15 ms vs 4.20/4.21 (~+1.5%, 30.5k ->
+        30.9k imgs/sec); at batch 256 it is parity-or-better (27.6k vs the
+        round-4 default 27.3k).  The dispatch is keyed to exactly the
+        measured-good shape family — the eval-path stride-2 stem at the
+        measured batches (both mobilenet stems; the stride-1
+        tiny_yolo/darknet53 stems and the train path are unmeasured and
+        stay on the proven _StemConv).  Shapes are static under jit, so
+        this is a compile-time choice, not a runtime branch.
+        """
+        return (self.stem_mode == "default" and not train
+                and self.strides == (2, 2) and x.ndim == 4
+                and x.shape[0] in (128, 256))
+
+    def _epilogue(self, x, train, post_conv_scale):
         if post_conv_scale is not None:
             # Per-image scalar folded in AFTER the conv: conv(x*s) == conv(x)*s,
             # so the serving path can feed raw 0..255 letterbox pixels and

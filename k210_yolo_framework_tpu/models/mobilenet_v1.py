@@ -61,6 +61,9 @@ class MobileNetV1(nn.Module):
     alpha: float = 1.0
     dtype: Any = jnp.float32
     safe_dw_grad: bool = True
+    # "patches": x is the pre-extracted stem patches tensor from
+    # letterbox_stem_patches (serving path; see layers.ConvBN.stem_mode)
+    stem_mode: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
@@ -69,7 +72,8 @@ class MobileNetV1(nn.Module):
         # input_scale: per-image normalisation folded past the linear stem conv.
         x = ConvBN(features=int(32 * a), kernel=(3, 3), strides=(2, 2),
                    explicit_pad=((1, 1), (1, 1)), act=leaky_relu(0.3),
-                   dtype=self.dtype, name="stem")(x, train, input_scale)
+                   dtype=self.dtype, stem_mode=self.stem_mode,
+                   name="stem")(x, train, input_scale)
         # Block 1: the K210 mod — 40 if alpha == 1 else 64 (line 217).
         block1_filters = 40 if a == 1.0 else 64
         x = _DWBlock(filters=int(block1_filters * a), strides=(1, 1),

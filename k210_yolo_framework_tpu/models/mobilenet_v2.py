@@ -95,6 +95,9 @@ class MobileNetV2(nn.Module):
     alpha: float = 1.0
     dtype: Any = jnp.float32
     safe_dw_grad: bool = True
+    # "patches": x is the pre-extracted stem patches tensor from
+    # letterbox_stem_patches (serving path; see layers.ConvBN.stem_mode)
+    stem_mode: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
@@ -103,7 +106,8 @@ class MobileNetV2(nn.Module):
         # input_scale: per-image normalisation folded past the linear stem conv.
         x = ConvBN(features=32, kernel=(3, 3), strides=(2, 2),
                    explicit_pad=((1, 1), (1, 1)), act=relu6,
-                   dtype=self.dtype, name="stem", **_BN)(x, train, input_scale)
+                   dtype=self.dtype, stem_mode=self.stem_mode,
+                   name="stem", **_BN)(x, train, input_scale)
 
         tap16 = None
         for bid, (f, s, e) in enumerate(_BLOCKS):

@@ -67,11 +67,13 @@ class YoloMobileV1(nn.Module):
     alpha: float = 0.75
     dtype: Any = jnp.float32
     safe_dw_grad: bool = True
+    stem_mode: str = "default"  # see layers.ConvBN.stem_mode
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
         tap16, trunk = MobileNetV1(alpha=self.alpha, dtype=self.dtype,
                                    safe_dw_grad=self.safe_dw_grad,
+                                   stem_mode=self.stem_mode,
                                    name="backbone")(x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
         return _TwoScaleHead(out_channels=out,
@@ -89,11 +91,13 @@ class YoloMobileV2(nn.Module):
     alpha: float = 1.0
     dtype: Any = jnp.float32
     safe_dw_grad: bool = True
+    stem_mode: str = "default"  # see layers.ConvBN.stem_mode
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
         tap16, trunk = MobileNetV2(alpha=self.alpha, dtype=self.dtype,
                                    safe_dw_grad=self.safe_dw_grad,
+                                   stem_mode=self.stem_mode,
                                    name="backbone")(x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
         w = 128 if self.alpha > 0.7 else 192

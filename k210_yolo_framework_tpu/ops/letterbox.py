@@ -25,6 +25,7 @@ import jax.numpy as jnp
 __all__ = [
     "letterbox_params",
     "letterbox_image",
+    "letterbox_stem_patches",
     "letterbox_boxes",
     "normalize_image",
     "correct_boxes",
@@ -91,6 +92,72 @@ def letterbox_image(img: jnp.ndarray, img_hw: jnp.ndarray, in_hw: Tuple[int, int
         )
     # Reference warps -> .astype('uint8') (truncation) before augment/normalize.
     return jnp.clip(jnp.trunc(out.astype(jnp.float32)), 0.0, 255.0).astype(dtype)
+
+
+def letterbox_stem_patches(img: jnp.ndarray, img_hw: jnp.ndarray,
+                           in_hw: Tuple[int, int], *,
+                           kernel: Tuple[int, int] = (3, 3),
+                           stride: Tuple[int, int] = (2, 2),
+                           pad: Tuple[int, int] = (1, 1),
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Letterbox ``img`` and emit the STEM CONV'S im2col patches directly:
+    ``[Ho, kh, Wo, kw, C]`` where ``out[i, dy, j, dx, c]`` equals the
+    zero-padded letterboxed canvas at ``(stride_h*i + dy - pad_h,
+    stride_w*j + dx - pad_w, c)``.
+
+    Why: the serving profile's #2 device cost is the uint8 canvas relayout
+    into the stem conv's tiling (0.54 ms = 14.9 % of the batch-128 step at
+    309 GB/s — BASELINE.md).  That copy exists because the canvas is
+    materialised in NHWC and then re-read in conv layout.  But the resample
+    is an einsum against two small weight matrices, and im2col is a column
+    RE-INDEXING of those matrices — ``w2[:, (i, dy)] = w[:, s*i + dy - p]``
+    (zero column where the tap lands in the zero padding) — so the same
+    einsum can emit the patches tensor straight in the layout the stem's
+    MXU matmul consumes, and the NHWC canvas never exists in the program.
+    The patch overlap duplicates pixels (~2.2x for a 3x3/s2 stem), which is
+    cheap uint8 traffic; the relayout copy is what disappears.  This is the
+    producer-side fix the round-4 consumer-side probes (bf16 store,
+    batch-last layout, pinned input layout — all measured negatives,
+    BASELINE.md) could not reach.
+
+    Values are BIT-IDENTICAL to ``letterbox_image`` followed by patch
+    extraction: the weight columns are the same columns in a different
+    order, and each output element is the same two contractions in the same
+    order (pinned by tests/test_stem_modes.py).  Geometry is gated to
+    stride-2 stems by the callers — a stride-1 stem would inflate pixel
+    traffic ~9x.
+
+    Requires the explicit-weight-matrix path (jax private helper, same as
+    :func:`letterbox_image`); raises ImportError where unavailable so the
+    caller falls back to the default stem.
+    """
+    from jax._src.image.scale import (  # noqa: PLC2701
+        _fill_triangle_kernel, compute_weight_mat)
+
+    (kh, kw), (sh, sw), (ph, pw) = kernel, stride, pad
+    ho = (in_hw[0] + 2 * ph - kh) // sh + 1
+    wo = (in_hw[1] + 2 * pw - kw) // sw + 1
+    scale, translation = letterbox_params(img_hw, in_hw)
+    adj = 0.5 * (1.0 - scale)
+    ty, tx = translation[1] + adj, translation[0] + adj
+    w_h = compute_weight_mat(img.shape[0], in_hw[0], scale, ty,
+                             _fill_triangle_kernel, False)
+    w_w = compute_weight_mat(img.shape[1], in_hw[1], scale, tx,
+                             _fill_triangle_kernel, False)
+
+    def dup(w, n_in, n_out, k, s, p):
+        # zero columns where a tap reads the conv's zero padding, then one
+        # strided slab per in-kernel offset, interleaved (i, dy)-major
+        wp = jnp.pad(w, ((0, 0), (p, max(0, s * (n_out - 1) + k - p - n_in))))
+        slabs = [wp[:, dy::s][:, :n_out] for dy in range(k)]
+        return jnp.stack(slabs, axis=-1).reshape(w.shape[0], n_out * k)
+
+    w_h2 = dup(w_h, in_hw[0], ho, kh, sh, ph)
+    w_w2 = dup(w_w, in_hw[1], wo, kw, sw, pw)
+    out = jnp.einsum("hwc,hp,wq->pqc", img.astype(dtype),
+                     w_h2.astype(dtype), w_w2.astype(dtype))
+    out = jnp.clip(jnp.trunc(out.astype(jnp.float32)), 0.0, 255.0)
+    return out.astype(dtype).reshape(ho, kh, wo, kw, img.shape[-1])
 
 
 def letterbox_boxes(boxes: jnp.ndarray, img_hw: jnp.ndarray, in_hw: Tuple[int, int]) -> jnp.ndarray:
