@@ -122,9 +122,16 @@ class Predictor:
             # modes keep the canvas for their own quantize chain).
             if not hasattr(net.module, "stem_mode"):
                 raise ValueError(
-                    f"stem_mode={stem_mode!r} needs a builder with a stride-2 "
+                    f"stem_mode={stem_mode!r} unsupported by "
+                    f"{type(net.module).__name__}")
+            if (stem_mode == "patches"
+                    and type(net.module).__name__ not in ("YoloMobileV1",
+                                                          "YoloMobileV2")):
+                raise ValueError(
+                    f"stem_mode='patches' needs a builder with a stride-2 "
                     f"stem (yolo_mobilev1/yolo_mobilev2); "
-                    f"{type(net.module).__name__} has none")
+                    f"{type(net.module).__name__}'s stride-1 stem would "
+                    f"inflate pixel traffic ~9x")
             if stem_mode == "patches" and quantize not in (None, "int8"):
                 raise ValueError(
                     "stem_mode='patches' supports quantize=None or 'int8'")

@@ -29,12 +29,16 @@ class TinyYoloBody(nn.Module):
     (yolonet.py:110-126)."""
 
     dtype: Any = jnp.float32
+    # "nativeconv" forces nn.Conv for the cin=3 stem (see ConvBN.stem_mode)
+    stem_mode: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
         # input_scale: per-image normalisation folded past the linear stem conv.
         for i, f in enumerate([16, 32, 64, 128]):
-            x = DarknetConvBN(f, (3, 3), dtype=self.dtype, name=f"conv_{i}")(
+            x = DarknetConvBN(f, (3, 3), dtype=self.dtype,
+                              stem_mode=self.stem_mode if i == 0 else "default",
+                              name=f"conv_{i}")(
                 x, train, input_scale if i == 0 else None)
             x = _maxpool(x, 2)
         x1 = DarknetConvBN(256, (3, 3), dtype=self.dtype, name="conv_4")(x, train)
@@ -74,11 +78,14 @@ class Darknet53(nn.Module):
     (yolonet.py:164-172, 207-215)."""
 
     dtype: Any = jnp.float32
+    # "nativeconv" forces nn.Conv for the cin=3 stem (see ConvBN.stem_mode)
+    stem_mode: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
         # input_scale: per-image normalisation folded past the linear stem conv.
-        x = DarknetConvBN(32, (3, 3), dtype=self.dtype, name="stem")(
+        x = DarknetConvBN(32, (3, 3), dtype=self.dtype,
+                          stem_mode=self.stem_mode, name="stem")(
             x, train, input_scale)
         x = _ResBlockBody(64, 1, dtype=self.dtype, name="stage_1")(x, train)
         x = _ResBlockBody(128, 2, dtype=self.dtype, name="stage_2")(x, train)

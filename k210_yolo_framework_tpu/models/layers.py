@@ -506,7 +506,12 @@ class ConvBN(nn.Module):
             )(x)
         elif (x.shape[-1] <= 4 and not self.use_bias
               and self.stem_mode != "nativeconv"
-              and not self._native_stem_wins(x, train)):
+              and not (int8_act is None
+                       and self._native_stem_wins(x, train))):
+            # int8_act nets must NOT take the autotune fall-through: the
+            # dispatch order below would hand the stem to _Int8Conv, and the
+            # stem stays WIDE by design in the int8-act modes (quantization
+            # noise on raw 0..255 pixels costs mAP; see BASELINE int8 rows)
             if pad == "SAME":  # stems in this zoo are explicit-pad/VALID
                 ph = ((self.kernel[0] - 1) // 2, self.kernel[0] // 2)
                 pw = ((self.kernel[1] - 1) // 2, self.kernel[1] // 2)
@@ -553,16 +558,20 @@ class ConvBN(nn.Module):
         lane-width serving batch nn.Conv now BEATS _StemConv: back-to-back
         reps measured device 4.12/4.15 ms vs 4.20/4.21 (~+1.5%, 30.5k ->
         30.9k imgs/sec); at batch 256 it is parity-or-better (27.6k vs the
-        round-4 default 27.3k).  The dispatch is keyed to exactly the
-        measured-good shape family — the eval-path stride-2 stem at the
-        measured batches (both mobilenet stems; the stride-1
-        tiny_yolo/darknet53 stems and the train path are unmeasured and
-        stay on the proven _StemConv).  Shapes are static under jit, so
-        this is a compile-time choice, not a runtime branch.
+        round-4 default 27.3k).  The STRIDE-1 stems win far more — there
+        _StemConv's im2col patches tensor is ~9x the canvas bytes:
+        tiny_yolo 27.1k -> 29.6k (+9.5%, device 4.725 -> 4.317 ms);
+        darknet53 parity (4.97k vs 4.95k, the stem is negligible in its
+        25.7 ms step).  The dispatch is keyed to exactly the measured-good
+        shape families below; the train path and other batches are
+        unmeasured and stay on the proven _StemConv.  Shapes are static
+        under jit, so this is a compile-time choice, not a runtime branch.
         """
-        return (self.stem_mode == "default" and not train
-                and self.strides == (2, 2) and x.ndim == 4
-                and x.shape[0] in (128, 256))
+        if self.stem_mode != "default" or train or x.ndim != 4:
+            return False
+        if self.strides == (2, 2):
+            return x.shape[0] in (128, 256)
+        return self.strides == (1, 1) and x.shape[0] == 128
 
     def _epilogue(self, x, train, post_conv_scale):
         if post_conv_scale is not None:
@@ -600,6 +609,9 @@ class DarknetConvBN(nn.Module):
     kernel: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
+    stem_mode: str = "default"  # see ConvBN.stem_mode ("patches" unsupported:
+    # these stems are stride-1, where the patch tensor would inflate pixel
+    # traffic ~9x)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -612,6 +624,7 @@ class DarknetConvBN(nn.Module):
             explicit_pad=explicit,
             act=leaky_relu(0.1),
             dtype=self.dtype,
+            stem_mode=self.stem_mode,
             name=f"{DARKNET_CONV_PREFIX}_bn",
         )(x, train, post_conv_scale)
 

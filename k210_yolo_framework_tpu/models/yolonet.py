@@ -113,10 +113,12 @@ class TinyYolo(nn.Module):
     alpha: float = 1.0  # unused; uniform builder signature
     dtype: Any = jnp.float32
     safe_dw_grad: bool = True  # no depthwise convs here; uniform signature
+    stem_mode: str = "default"  # "nativeconv" only (stride-1 stem)
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
-        tap16, trunk = TinyYoloBody(dtype=self.dtype, name="backbone")(
+        tap16, trunk = TinyYoloBody(dtype=self.dtype, stem_mode=self.stem_mode,
+                                    name="backbone")(
             x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
         return _TwoScaleHead(out_channels=out, y1_filters=512, y2_filters=256,
@@ -131,10 +133,13 @@ class Yolo(nn.Module):
     alpha: float = 1.0  # unused; uniform builder signature
     dtype: Any = jnp.float32
     safe_dw_grad: bool = True  # no depthwise convs here; uniform signature
+    stem_mode: str = "default"  # "nativeconv" only (stride-1 stem)
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_scale=None):
-        tap8, tap16, tap32 = Darknet53(dtype=self.dtype, name="backbone")(
+        tap8, tap16, tap32 = Darknet53(dtype=self.dtype,
+                                       stem_mode=self.stem_mode,
+                                       name="backbone")(
             x, train, input_scale)
         out = self.anchor_num * (self.class_num + 5)
 

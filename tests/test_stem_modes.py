@@ -136,12 +136,13 @@ def test_native_stem_autotune_gate_and_parity():
     x128 = jnp.asarray(
         np.random.default_rng(4).integers(0, 256, (128, 16, 16, 3))
         .astype(np.float32))
-    # gate boundary: exactly the measured shape family, nothing else
+    # gate boundary: exactly the measured shape families, nothing else
     assert conv._native_stem_wins(x128, train=False)
     assert not conv._native_stem_wins(x128, train=True)
     assert not conv._native_stem_wins(x128[:127], train=False)
     s1 = ConvBN(features=8, kernel=(3, 3), strides=(1, 1))
-    assert not s1._native_stem_wins(x128, train=False)
+    assert s1._native_stem_wins(x128, train=False)      # tiny_yolo +9.5%
+    assert not s1._native_stem_wins(x128[:64], train=False)  # s1@256/64 unmeasured
 
     variables = conv.init(jax.random.PRNGKey(0), x128[:4])  # _StemConv init
     y128 = conv.apply(variables, x128)          # nn.Conv dispatch (gate on)
@@ -152,6 +153,28 @@ def test_native_stem_autotune_gate_and_parity():
     # patches/TP-psum comparisons above
     np.testing.assert_allclose(np.asarray(y128[:64]), np.asarray(y64),
                                rtol=5e-4, atol=1e-3)
+
+
+def test_native_stem_autotune_keeps_int8act_stem_wide():
+    """Regression: the autotune fall-through must NOT hand the cin=3 stem to
+    _Int8Conv under the int8-act modes — the stem stays WIDE by design
+    (quantizing raw 0..255 pixels costs mAP).  Observable: _Int8Conv's
+    static modes create an ``act_ranges`` collection; the stem scope must
+    have none even at the autotuned batch-128 eval shape."""
+    from k210_yolo_framework_tpu.models.layers import ConvBN, Int8Act, leaky_relu
+
+    dt = Int8Act(static=True)
+    stem = ConvBN(features=8, kernel=(3, 3), strides=(2, 2),
+                  explicit_pad=((1, 1), (1, 1)), act=leaky_relu(0.3), dtype=dt)
+    x128 = jnp.zeros((128, 16, 16, 3), jnp.float32)
+    v = stem.init(jax.random.PRNGKey(0), x128)      # autotuned shape family
+    assert "act_ranges" not in v, "int8-act stem was quantized by the autotune"
+
+    # control: a non-stem dense conv under the same dtype DOES quantize
+    body = ConvBN(features=8, kernel=(3, 3), strides=(2, 2),
+                  explicit_pad=((1, 1), (1, 1)), act=leaky_relu(0.3), dtype=dt)
+    vb = body.init(jax.random.PRNGKey(0), jnp.zeros((128, 16, 16, 8)))
+    assert "act_ranges" in vb
 
 
 def test_patches_stem_single_image_path():
