@@ -21,10 +21,13 @@ spec = voc_spec()
 
 
 def time_pp(batch, mode="stratified", radix=None, iters=30, stages="all",
-            tag=""):
+            tag="", rotate_impl=None):
     old_radix = A._SHEAR_RADIX
+    old_rot = A.ROTATE_IMPL
     if radix is not None:
         A._SHEAR_RADIX = radix
+    if rotate_impl is not None:
+        A.ROTATE_IMPL = rotate_impl
     try:
         pp_raw = PL.make_preprocess_fn(spec, is_training=True,
                                        dtype=jnp.bfloat16)
@@ -89,6 +92,7 @@ def time_pp(batch, mode="stratified", radix=None, iters=30, stages="all",
         return ms
     finally:
         A._SHEAR_RADIX = old_radix
+        A.ROTATE_IMPL = old_rot
 
 
 if __name__ == "__main__":
@@ -104,6 +108,14 @@ if __name__ == "__main__":
         elif v == "iid":
             for b in (64, 128):
                 time_pp(b, mode="iid", stages="augment")
+        elif v == "rot":
+            # round-5 Pallas fused-rotation kernel A/B (ops/rotate_pallas.py)
+            for impl in ("slice", "pallas"):
+                for b in (64, 128):
+                    time_pp(b, stages="augment", rotate_impl=impl, tag=impl)
+            for impl in ("slice", "pallas"):
+                for b in (64, 128):
+                    time_pp(b, stages="all", rotate_impl=impl, tag=impl)
         elif v.startswith("radix"):
             r = int(v[len("radix"):])
             for b in (64, 128):

@@ -62,7 +62,13 @@ def time_fused(batch, barrier, iters=30):
 
 
 if __name__ == "__main__":
-    batches = [int(b) for b in sys.argv[1:]] or [64, 128, 256]
-    for b in batches:
-        for barrier in (False, True):
-            time_fused(b, barrier)
+    from k210_yolo_framework_tpu.ops import augment as A
+    args = sys.argv[1:]
+    impls = [a for a in args if a in ("slice", "pallas", "auto")]
+    batches = [int(b) for b in args if b.isdigit()] or [64, 128, 256]
+    for impl in impls or [None]:
+        if impl is not None:
+            A.ROTATE_IMPL = impl
+            print(f"# rotate_impl={impl}", flush=True)
+        for b in batches:
+            time_fused(b, True)

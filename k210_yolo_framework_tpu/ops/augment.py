@@ -52,6 +52,14 @@ __all__ = ["augment_image_and_boxes", "augment_batch"]
 MAX_ROT_DEG = 10.0     # reference: Affine(rotate=(-10, 10)) (utils.py:86)
 MAX_TRANSLATE = 0.1    # reference: Affine(translate_percent=+-0.1)
 
+# Rotation implementation for the stratified batch path: "slice" = the
+# per-image slice-sum 3-shear below; "pallas" = the VMEM-resident fused
+# kernel (ops/rotate_pallas.py, bit-identical); "auto" = pallas on a TPU
+# backend when the frame fits VMEM, slice everywhere else (CPU tests, the
+# CPU-mesh dryrun, oversized frames).  Module-level so probes/rollback can
+# flip it without re-plumbing call sites.
+ROTATE_IMPL = "auto"
+
 
 def _inverse_affine_sample(img: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear-resample ``img`` [H, W, C] through inverse affine ``inv``
@@ -501,10 +509,24 @@ def augment_batch(key: jax.Array, imgs: jnp.ndarray, boxes: jnp.ndarray,
         bx2, vl2 = _affine_boxes(bx, vl, m, hw)
         return out, bx2, vl2
 
-    def one_rot(k, img, bx, vl):
-        m, theta = _rot_params(k, hw)
-        out = _rotate_3shear(_as_float(img), theta)
-        bx2, vl2 = _affine_boxes(bx, vl, m, hw)
+    def rot_slice_batch(ks, ims, bx, vl):
+        ms, thetas = jax.vmap(lambda k: _rot_params(k, hw))(ks)
+        ims_f = _as_float(ims)
+        impl = ROTATE_IMPL
+        if impl == "auto":
+            from k210_yolo_framework_tpu.ops import rotate_pallas as RP
+            impl = "pallas" if (
+                jax.default_backend() == "tpu"
+                and RP.pallas_rotate_supported(hw[0], hw[1], ims.shape[-1],
+                                               ims_f.dtype)) else "slice"
+        if impl == "slice":
+            out = jax.vmap(_rotate_3shear)(ims_f, thetas)
+        else:
+            from k210_yolo_framework_tpu.ops import rotate_pallas as RP
+            out = RP.rotate_3shear_pallas(ims_f, thetas,
+                                          interpret=(impl == "interpret"))
+        bx2, vl2 = jax.vmap(lambda b, v, m: _affine_boxes(b, v, m, hw))(
+            bx, vl, ms)
         return out, bx2, vl2
 
     def one_tr(k, img, bx, vl):
@@ -516,8 +538,8 @@ def augment_batch(key: jax.Array, imgs: jnp.ndarray, boxes: jnp.ndarray,
     lo, mid = n_flip, n_flip + n_rot
     parts = [
         jax.vmap(one_flip)(keys[:lo], imgs[:lo], boxes[:lo], valid[:lo]),
-        jax.vmap(one_rot)(keys[lo:mid], imgs[lo:mid], boxes[lo:mid],
-                          valid[lo:mid]),
+        rot_slice_batch(keys[lo:mid], imgs[lo:mid], boxes[lo:mid],
+                        valid[lo:mid]),
         jax.vmap(one_tr)(keys[mid:], imgs[mid:], boxes[mid:], valid[mid:]),
     ]
     return tuple(jnp.concatenate([p[i] for p in parts], axis=0)

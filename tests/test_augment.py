@@ -320,3 +320,58 @@ def test_conv_shear_twin_matches_production_exactly():
     want = jax.vmap(A._rotate_3shear)(imgs2, thetas)
     got = A._rotate_3shear_batch(imgs2, thetas)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_rotate_pallas_matches_slice_sum():
+    """The VMEM-fused 3-shear rotation kernel (ops/rotate_pallas.py,
+    interpret mode off-TPU) is the same term-by-term weighted sum as the
+    production per-image slice-sum rotation.  fp32: the two compile as
+    SEPARATE XLA programs, so mul+add -> FMA contraction choices can differ
+    and the match is ULP-level, not bit-level (measured max 2.3e-07
+    relative on CPU).  bf16: the kernel accumulates internally in fp32 (a
+    Mosaic 16-bit lowering limit forced the design; strictly MORE accurate)
+    while the slice path rounds to bf16 per op, so the tolerance is bf16
+    resolution itself (measured max 1.5e-2 relative, 8/6912 elements above
+    1e-2).  Includes a width large enough that the production y-pass takes
+    the radix path (the kernel's direct sum differs from radix only by
+    added exact-zero terms)."""
+    from k210_yolo_framework_tpu.ops import rotate_pallas as RP
+
+    rng = np.random.default_rng(7)
+    for h, w, c, dt, rtol, atol in (
+            (24, 32, 3, jnp.float32, 1e-6, 1e-4),
+            (48, 200, 3, jnp.float32, 1e-6, 1e-4),  # y-pass bound > 2*radix
+            (24, 32, 3, jnp.bfloat16, 3e-2, 2.5)):
+        imgs = jnp.asarray(
+            rng.uniform(0, 255, (3, h, w, c)).astype(np.float32)).astype(dt)
+        thetas = jnp.asarray(
+            np.deg2rad(rng.uniform(-10, 10, 3)).astype(np.float32))
+        want = jax.vmap(A._rotate_3shear)(imgs, thetas)
+        got = RP.rotate_3shear_pallas(imgs, thetas, interpret=True)
+        assert got.dtype == want.dtype
+        np.testing.assert_allclose(
+            np.asarray(want, np.float32), np.asarray(got, np.float32),
+            rtol=rtol, atol=atol)
+        assert RP.pallas_rotate_supported(h, w, c, dt)
+
+
+def test_rotate_pallas_dispatch_gates_off_tpu():
+    """augment_batch's 'auto' rotation dispatch must resolve to the slice
+    path on non-TPU backends (CPU tests, the CPU-mesh dryrun) and the
+    module flag must force the kernel (interpret) end-to-end."""
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(0, 255, (6, 24, 32, 3)).astype(np.float32))
+    boxes = jnp.tile(jnp.asarray([[2.0, 0.5, 0.5, 0.3, 0.3]]), (6, 1, 1))
+    valid = jnp.ones((6, 1), bool)
+    key = jax.random.PRNGKey(0)
+    want = A.augment_batch(key, imgs, boxes, valid)       # auto -> slice here
+    old = A.ROTATE_IMPL
+    try:
+        A.ROTATE_IMPL = "interpret"
+        got = A.augment_batch(key, imgs, boxes, valid)
+    finally:
+        A.ROTATE_IMPL = old
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-4)
